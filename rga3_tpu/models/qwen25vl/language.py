@@ -1,0 +1,288 @@
+"""Qwen2.5 decoder language model in flax.linen (JAX rebuild of the
+HF Qwen2.5-VL text stack the reference depends on — SURVEY.md §2.3).
+
+TPU-first notes:
+  * Attention runs through `ops.attention.flash_attention` (Pallas on TPU).
+  * KV cache is a static-shape pytree; decode steps update it with
+    `lax.dynamic_update_slice` so the whole generate loop jits.
+  * M-RoPE tables are computed once per forward from (3, B, L) position ids
+    (ops.rope.mrope_cos_sin).
+  * Weights carry flax logical-partitioning names so pjit shards them via
+    rules in rga3_tpu.parallel.sharding ("embed", "mlp", "heads", "vocab").
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax.linen import partitioning as nn_partitioning
+
+from ...ops import rope as rope_ops
+from ...ops.attention import flash_attention, mha_reference
+from .config import QwenTextConfig
+
+param_with_axes = nn_partitioning.param_with_axes
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param(
+            "weight", nn.initializers.ones, (x.shape[-1],), jnp.float32
+        )
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        normed = x32 * jax.lax.rsqrt(var + self.eps)
+        return (normed * scale).astype(x.dtype)
+
+
+def make_kv_cache(
+    cfg: QwenTextConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """Static-shape KV cache pytree for all layers."""
+    shape = (cfg.num_hidden_layers, batch, max_len,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "idx": jnp.zeros((), jnp.int32),  # filled length (uniform per batch)
+    }
+
+
+class Attention(nn.Module):
+    cfg: QwenTextConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, L, D)
+        cos: jnp.ndarray,  # (B, L, head_dim)
+        sin: jnp.ndarray,
+        segment_ids: Optional[jnp.ndarray],
+        layer_cache: Optional[Dict[str, jnp.ndarray]] = None,
+        cache_idx: Optional[jnp.ndarray] = None,
+    ):
+        cfg = self.cfg
+        b, l, _ = x.shape
+        h, hkv, hd = (
+            cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+        )
+
+        def dense(name, features, use_bias, kernel_axes):
+            return nn.Dense(
+                features,
+                use_bias=use_bias,
+                name=name,
+                dtype=x.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.with_logical_partitioning(
+                    nn.initializers.lecun_normal(), kernel_axes
+                ),
+            )
+
+        q = dense("q_proj", h * hd, True, ("embed", "heads"))(x)
+        k = dense("k_proj", hkv * hd, True, ("embed", "heads"))(x)
+        v = dense("v_proj", hkv * hd, True, ("embed", "heads"))(x)
+        q = q.reshape(b, l, h, hd)
+        k = k.reshape(b, l, hkv, hd)
+        v = v.reshape(b, l, hkv, hd)
+
+        q = rope_ops.apply_rope(q, cos, sin)
+        k = rope_ops.apply_rope(k, cos, sin)
+
+        if layer_cache is None:
+            out = flash_attention(
+                q, k, v, causal=True, segment_ids=segment_ids
+            )
+            new_cache = (k, v)
+        else:
+            # decode: append k/v at cache_idx, attend over filled prefix
+            ck, cv = layer_cache["k"], layer_cache["v"]
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, cache_idx, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, cache_idx, 0, 0)
+            )
+            new_cache = (ck, cv)
+            max_len = ck.shape[1]
+            kf = jnp.repeat(ck, h // hkv, axis=2)
+            vf = jnp.repeat(cv, h // hkv, axis=2)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                kf.astype(jnp.float32),
+            ) * (hd**-0.5)
+            kpos = jnp.arange(max_len)[None, None, None, :]
+            qpos = (cache_idx + jnp.arange(l))[None, None, :, None]
+            valid = kpos <= qpos  # causal within the appended block too
+            logits = jnp.where(valid, logits, -1e30)
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs, vf.astype(jnp.float32)
+            ).astype(x.dtype)
+
+        out = out.reshape(b, l, h * hd)
+        out = dense("o_proj", cfg.hidden_size, False, ("heads", "embed"))(out)
+        return out, new_cache
+
+
+class MLP(nn.Module):
+    cfg: QwenTextConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+
+        def dense(name, features, kernel_axes):
+            return nn.Dense(
+                features,
+                use_bias=False,
+                name=name,
+                dtype=x.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.with_logical_partitioning(
+                    nn.initializers.lecun_normal(), kernel_axes
+                ),
+            )
+
+        gate = dense("gate_proj", cfg.intermediate_size, ("embed", "mlp"))(x)
+        up = dense("up_proj", cfg.intermediate_size, ("embed", "mlp"))(x)
+        return dense("down_proj", cfg.hidden_size, ("mlp", "embed"))(
+            nn.silu(gate) * up
+        )
+
+
+class DecoderLayer(nn.Module):
+    cfg: QwenTextConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, segment_ids, layer_cache, cache_idx):
+        attn_out, new_cache = Attention(self.cfg, name="self_attn")(
+            RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x),
+            cos, sin, segment_ids, layer_cache, cache_idx,
+        )
+        x = x + attn_out
+        x = x + MLP(self.cfg, name="mlp")(
+            RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x)
+        )
+        return x, new_cache
+
+
+class QwenLM(nn.Module):
+    """Decoder stack. Takes input embeddings (vision tokens already merged
+    in by the caller — model.py) and 3-stream M-RoPE position ids."""
+
+    cfg: QwenTextConfig
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,  # (B, L, D)
+        position_ids: jnp.ndarray,  # (3, B, L)
+        segment_ids: Optional[jnp.ndarray] = None,  # (B, L); 0 = pad
+        cache: Optional[Dict[str, Any]] = None,
+    ) -> Tuple[jnp.ndarray, Optional[Dict[str, Any]]]:
+        cfg = self.cfg
+        cos, sin = rope_ops.mrope_cos_sin(
+            position_ids, cfg.head_dim, cfg.rope_theta, cfg.mrope_section
+        )
+        x = inputs_embeds
+        cache_idx = None if cache is None else cache["idx"]
+
+        new_k, new_v = [], []
+        layer_cls = DecoderLayer
+        if self.remat and cache is None:
+            layer_cls = nn.remat(
+                DecoderLayer, static_argnums=(), prevent_cse=False
+            )
+        for i in range(cfg.num_hidden_layers):
+            layer_cache = None
+            if cache is not None:
+                layer_cache = {"k": cache["k"][i], "v": cache["v"][i]}
+            x, updated = layer_cls(cfg, name=f"layers_{i}")(
+                x, cos, sin, segment_ids, layer_cache, cache_idx
+            )
+            if cache is not None:
+                new_k.append(updated[0])
+                new_v.append(updated[1])
+
+        x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
+
+        new_cache = None
+        if cache is not None:
+            new_cache = {
+                "k": jnp.stack(new_k),
+                "v": jnp.stack(new_v),
+                "idx": cache["idx"] + inputs_embeds.shape[1],
+            }
+        return x, new_cache
+
+
+class QwenForCausalLM(nn.Module):
+    """Embedding + decoder + lm_head (tied option for 3B)."""
+
+    cfg: QwenTextConfig
+    remat: bool = False
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(
+            self.cfg.vocab_size,
+            self.cfg.hidden_size,
+            param_dtype=jnp.float32,
+            embedding_init=nn.with_logical_partitioning(
+                nn.initializers.normal(0.02), ("vocab", "embed")
+            ),
+            name="embed_tokens",
+        )
+        self.model = QwenLM(self.cfg, remat=self.remat, name="model")
+        if not self.cfg.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                self.cfg.vocab_size,
+                use_bias=False,
+                param_dtype=jnp.float32,
+                kernel_init=nn.with_logical_partitioning(
+                    nn.initializers.lecun_normal(), ("embed", "vocab")
+                ),
+                name="lm_head",
+            )
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(input_ids)
+
+    def head(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        if self.cfg.tie_word_embeddings:
+            return self.embed_tokens.attend(hidden)
+        return self.lm_head(hidden)
+
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
+        cache: Optional[Dict[str, Any]] = None,
+        compute_dtype: Any = jnp.float32,
+    ):
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        inputs_embeds = inputs_embeds.astype(compute_dtype)
+        if position_ids is None:
+            b, l = inputs_embeds.shape[:2]
+            base = jnp.arange(l)[None, :].repeat(b, 0)
+            if cache is not None:
+                base = base + cache["idx"]
+            position_ids = jnp.broadcast_to(base, (3, b, l))
+        hidden, new_cache = self.model(
+            inputs_embeds, position_ids, segment_ids, cache
+        )
+        logits = self.head(hidden)
+        return {
+            "logits": logits,
+            "hidden_states": hidden,
+            "cache": new_cache,
+        }

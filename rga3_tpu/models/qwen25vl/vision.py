@@ -1,0 +1,259 @@
+"""Qwen2.5-VL windowed-attention vision encoder in flax.linen.
+
+JAX rebuild of the HF vision tower the reference depends on (SURVEY.md §2.3:
+windowed ViT with dynamic-resolution pixel budgeting, M-RoPE plumbed through
+`grid_thw`). The dynamic-resolution token counts fight XLA's static shapes
+(SURVEY.md §7 hard part 3); strategy here:
+
+  * Host side (numpy, `compute_vision_layout`): window reordering indices,
+    per-window segment ids, and 2D rotary position tables for a given
+    `grid_thw`. These are data, not weights — the device kernel is compiled
+    per padded bucket length.
+  * Device side: patch embedding (the Conv3d expressed as one matmul on
+    pre-extracted patches — MXU-friendly), `depth` blocks where window
+    blocks use segment-id flash attention over window segments and
+    full-attention blocks use per-grid segment ids, then the 2×2 spatial
+    merger MLP.
+
+Token order convention matches HF exactly: patches arrive in merge-unit
+order ((h/2, w/2, 2, 2) within each t slice), windows regroup merge units
+into 4×4-unit tiles (window_size // spatial_merge_size // patch_size).
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.attention import flash_attention
+from ...ops.rope import apply_rope, vision_rope_cos_sin
+from .config import QwenVisionConfig
+
+
+class VisionLayout(NamedTuple):
+    """Host-computed layout for one batch of grids (images/video clips)."""
+
+    window_index: np.ndarray  # (L_merged,) permutation of merge units
+    reverse_index: np.ndarray  # (L_merged,) inverse permutation
+    window_seg: np.ndarray  # (L_tokens,) segment id per window-ordered token
+    grid_seg: np.ndarray  # (L_tokens,) segment id per grid (full-att blocks)
+    hpos: np.ndarray  # (L_tokens,) window-ordered h coords
+    wpos: np.ndarray  # (L_tokens,) window-ordered w coords
+    total_tokens: int
+
+
+def _grid_pos_ids(t: int, h: int, w: int, sms: int) -> np.ndarray:
+    """Patch (h, w) coords in merge-unit order, repeated t times.
+
+    Matches HF `rot_pos_emb`: reshape (h/sms, sms, w/sms, sms) and permute to
+    (h/sms, w/sms, sms, sms)."""
+    hpos = np.arange(h)[:, None].repeat(w, 1)
+    wpos = np.arange(w)[None, :].repeat(h, 0)
+
+    def perm(p):
+        return (
+            p.reshape(h // sms, sms, w // sms, sms)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )
+
+    hp, wp = perm(hpos), perm(wpos)
+    return np.stack(
+        [np.tile(hp, t), np.tile(wp, t)], axis=-1
+    )  # (t*h*w, 2)
+
+
+def compute_vision_layout(
+    grid_thw: Sequence[Tuple[int, int, int]], cfg: QwenVisionConfig
+) -> VisionLayout:
+    """Window reorder + segments + rotary coords for a list of grids.
+
+    Equivalent of HF `get_window_index` + `rot_pos_emb` (consumed by the
+    reference through transformers — SURVEY.md §2.3), done once on host.
+    """
+    sms = cfg.spatial_merge_size
+    unit = cfg.merge_unit
+    wsize = cfg.window_size // sms // cfg.patch_size  # merged units per side
+
+    window_index: List[np.ndarray] = []
+    window_seqlens: List[int] = []  # tokens per window (valid only)
+    grid_seqlens: List[int] = []
+    pos_list: List[np.ndarray] = []
+    start = 0
+    for t, h, w in grid_thw:
+        lh, lw = h // sms, w // sms
+        idx = np.arange(t * lh * lw).reshape(t, lh, lw)
+        pad_h = (-lh) % wsize
+        pad_w = (-lw) % wsize
+        idx_p = np.pad(
+            idx, ((0, 0), (0, pad_h), (0, pad_w)), constant_values=-100
+        )
+        nwh, nww = (lh + pad_h) // wsize, (lw + pad_w) // wsize
+        idx_p = idx_p.reshape(t, nwh, wsize, nww, wsize)
+        idx_p = idx_p.transpose(0, 1, 3, 2, 4).reshape(
+            t * nwh * nww, wsize * wsize
+        )
+        for row in idx_p:
+            valid = row[row != -100]
+            window_index.append(valid + start)
+            window_seqlens.append(len(valid) * unit)
+        start += t * lh * lw
+        grid_seqlens.append(t * h * w)
+        pos_list.append(_grid_pos_ids(t, h, w, sms))
+
+    window_index_np = np.concatenate(window_index)
+    reverse_index = np.argsort(window_index_np)
+
+    window_seg = np.repeat(
+        np.arange(len(window_seqlens)), np.asarray(window_seqlens)
+    )
+    grid_seg_natural = np.repeat(
+        np.arange(len(grid_seqlens)), np.asarray(grid_seqlens)
+    )
+
+    # positions are defined in natural (merge-unit) order; reorder tokens
+    pos = np.concatenate(pos_list, axis=0)  # (L_tokens, 2) natural order
+    total = pos.shape[0]
+    token_perm = (
+        window_index_np[:, None] * unit + np.arange(unit)[None, :]
+    ).reshape(-1)
+    pos_w = pos[token_perm]
+    grid_seg = grid_seg_natural[token_perm]
+
+    return VisionLayout(
+        window_index=window_index_np,
+        reverse_index=reverse_index,
+        window_seg=window_seg.astype(np.int32),
+        grid_seg=grid_seg.astype(np.int32),
+        hpos=pos_w[:, 0].astype(np.int32),
+        wpos=pos_w[:, 1].astype(np.int32),
+        total_tokens=total,
+    )
+
+
+class VisionRMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param(
+            "weight", nn.initializers.ones, (x.shape[-1],), jnp.float32
+        )
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        return (x32 * jnp.sqrt(1.0 / (var + self.eps)) * scale).astype(x.dtype)
+
+
+class VisionBlock(nn.Module):
+    cfg: QwenVisionConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, segment_ids):
+        cfg = self.cfg
+        l, d = x.shape
+        h, hd = cfg.num_heads, cfg.head_dim
+
+        normed = VisionRMSNorm(cfg.rms_norm_eps, name="norm1")(x)
+        qkv = nn.Dense(
+            3 * d, use_bias=True, dtype=x.dtype, param_dtype=jnp.float32,
+            name="attn_qkv",
+        )(normed)
+        q, k, v = jnp.split(qkv.reshape(l, 3, h, hd), 3, axis=1)
+        q, k, v = q[:, 0], k[:, 0], v[:, 0]  # (L, H, hd)
+        q = apply_rope(q[None], cos[None], sin[None])[0]
+        k = apply_rope(k[None], cos[None], sin[None])[0]
+        attn = flash_attention(
+            q[None], k[None], v[None],
+            causal=False, segment_ids=segment_ids[None],
+        )[0]
+        attn = nn.Dense(
+            d, use_bias=True, dtype=x.dtype, param_dtype=jnp.float32,
+            name="attn_proj",
+        )(attn.reshape(l, d))
+        x = x + attn
+
+        normed = VisionRMSNorm(cfg.rms_norm_eps, name="norm2")(x)
+        gate = nn.Dense(
+            cfg.intermediate_size, use_bias=True, dtype=x.dtype,
+            param_dtype=jnp.float32, name="mlp_gate",
+        )(normed)
+        up = nn.Dense(
+            cfg.intermediate_size, use_bias=True, dtype=x.dtype,
+            param_dtype=jnp.float32, name="mlp_up",
+        )(normed)
+        down = nn.Dense(
+            d, use_bias=True, dtype=x.dtype, param_dtype=jnp.float32,
+            name="mlp_down",
+        )(nn.silu(gate) * up)
+        return x + down
+
+
+class QwenVisionTower(nn.Module):
+    """Full vision tower over window-ordered patch tokens.
+
+    Inputs are produced host-side: `pixel_patches` (L, in_channels *
+    temporal_patch_size * patch_size²) in natural merge-unit order, plus a
+    VisionLayout. Output: merged tokens (L/4, out_hidden_size) in natural
+    order (ready to scatter into the LLM sequence).
+    """
+
+    cfg: QwenVisionConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        pixel_patches: jnp.ndarray,
+        hpos: jnp.ndarray,
+        wpos: jnp.ndarray,
+        window_seg: jnp.ndarray,
+        grid_seg: jnp.ndarray,
+        token_perm: jnp.ndarray,  # natural->window order token permutation
+        merged_reverse: jnp.ndarray,  # window->natural merged-unit inverse
+        compute_dtype=jnp.float32,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        x = nn.Dense(
+            cfg.hidden_size, use_bias=False, dtype=compute_dtype,
+            param_dtype=jnp.float32, name="patch_embed",
+        )(pixel_patches.astype(compute_dtype))
+
+        x = x[token_perm]  # reorder into window order
+        cos, sin = vision_rope_cos_sin(hpos, wpos, cfg.head_dim)
+
+        for i in range(cfg.depth):
+            seg = (
+                grid_seg if i in cfg.fullatt_block_indexes else window_seg
+            )
+            x = VisionBlock(cfg, name=f"blocks_{i}")(x, cos, sin, seg)
+
+        # merger: RMSNorm → concat 2x2 merge unit → MLP
+        x = VisionRMSNorm(cfg.rms_norm_eps, name="merger_ln_q")(x)
+        x = x.reshape(-1, cfg.merge_unit * cfg.hidden_size)
+        x = nn.Dense(
+            cfg.merge_unit * cfg.hidden_size, use_bias=True,
+            dtype=compute_dtype, param_dtype=jnp.float32, name="merger_fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(
+            cfg.out_hidden_size, use_bias=True, dtype=compute_dtype,
+            param_dtype=jnp.float32, name="merger_fc2",
+        )(x)
+        return x[merged_reverse]  # back to natural order
+
+
+def layout_device_args(layout: VisionLayout, cfg: QwenVisionConfig):
+    """Convert a VisionLayout into the device arrays QwenVisionTower takes."""
+    unit = cfg.merge_unit
+    token_perm = (
+        layout.window_index[:, None] * unit + np.arange(unit)[None, :]
+    ).reshape(-1)
+    return dict(
+        hpos=jnp.asarray(layout.hpos),
+        wpos=jnp.asarray(layout.wpos),
+        window_seg=jnp.asarray(layout.window_seg),
+        grid_seg=jnp.asarray(layout.grid_seg),
+        token_perm=jnp.asarray(token_perm),
+        merged_reverse=jnp.asarray(layout.reverse_index),
+    )

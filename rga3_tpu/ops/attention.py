@@ -1,0 +1,280 @@
+"""Attention kernels: Pallas TPU flash attention with a pure-XLA fallback.
+
+Replaces the reference's flash-attn 2.7.4 CUDA dependency
+(`attn_implementation="flash_attention_2"`, ref: train_joint.py:181,
+app.py:54) with a TPU-native implementation:
+
+  * `flash_attention` — Pallas online-softmax kernel, causal or full, with
+    optional segment ids (packed batches / Qwen ViT window attention where
+    each window is a segment). GQA-aware: kv heads are indexed through the
+    BlockSpec index map, never materialized per-query-head. Runs on TPU; on
+    CPU (tests) it falls back to the XLA reference path automatically.
+  * `mha_reference` — straightforward XLA attention used for correctness
+    tests and as the CPU fallback. fp32 softmax accumulation in both paths.
+
+Layout: (B, L, H, D) for q/k/v ("BLHD").
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def mha_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """XLA attention. q: (B, Lq, H, D); k/v: (B, Lk, Hkv, D)."""
+    b, lq, h, d = q.shape
+    _, lk, hkv, _ = k.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if hkv != h:
+        rep = h // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    mask = None
+    if causal:
+        mask = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)[None, None]
+    if segment_ids is not None:
+        kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
+        seg = segment_ids[:, None, :, None] == kv_seg[:, None, None, :]
+        mask = seg if mask is None else (mask & seg)
+    if mask is not None:
+        logits = jnp.where(mask, logits, DEFAULT_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    q_seg_ref,
+    kv_seg_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    causal: bool,
+    scale: float,
+    block_q: int,
+    block_k: int,
+):
+    qi = pl.program_id(2)  # query-block index
+    ki = pl.program_id(3)  # kv-block index
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    def compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # (block_q, d)
+        k = k_ref[0, 0].astype(jnp.float32)  # (block_k, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (block_q, block_k)
+
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        q_seg = q_seg_ref[0].reshape(block_q, 1)
+        k_seg = kv_seg_ref[0].reshape(1, block_k)
+        mask = q_seg == k_seg
+        if causal:
+            mask = mask & (q_pos >= k_pos)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[:]  # (block_q, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_scratch[:] + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, 0].astype(jnp.float32)
+        acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        m_scratch[:] = m_new
+        l_scratch[:] = l_new
+
+    if causal:
+        # Skip fully-masked kv blocks above the diagonal.
+        @pl.when(ki * block_k <= qi * block_q + block_q - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(ki == pl.num_programs(3) - 1)
+    def _finalize():
+        l = l_scratch[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scratch[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "scale", "block_q", "block_k", "interpret", "num_q_heads"
+    ),
+)
+def _flash_call(
+    q, k, v, q_seg, kv_seg, *,
+    causal, scale, block_q, block_k, interpret, num_q_heads,
+):
+    """q: (B, H, Lq, D); k/v: (B, Hkv, Lk, D); segs: (B, L)."""
+    b, h, lq, d = q.shape
+    hkv = k.shape[1]
+    lk = k.shape[2]
+    rep = num_q_heads // hkv
+    grid = (b, h, pl.cdiv(lq, block_q), pl.cdiv(lk, block_k))
+
+    kernel = functools.partial(
+        _flash_kernel,
+        causal=causal,
+        scale=scale,
+        block_q=block_q,
+        block_k=block_k,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda b_, h_, qi, ki: (b_, qi)),
+            pl.BlockSpec((1, block_k), lambda b_, h_, qi, ki: (b_, ki)),
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d),
+                lambda b_, h_, qi, ki: (b_, h_ // rep, ki, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d),
+                lambda b_, h_, qi, ki: (b_, h_ // rep, ki, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_seg, kv_seg, q, k, v)
+    return out
+
+
+def _pad_to(x, axis, multiple):
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - size)
+    return jnp.pad(x, pad)
+
+
+def _pick_block(requested: int, length: int) -> int:
+    pow2 = 1 << max(length - 1, 1).bit_length()
+    return min(requested, max(128, pow2))
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention, (B, L, H, D) layout, GQA-aware.
+
+    On non-TPU backends falls back to `mha_reference` (the Pallas TPU
+    lowering is Mosaic-only; interpret=True is available for debugging).
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or interpret):
+        return mha_reference(
+            q, k, v, causal=causal, segment_ids=segment_ids,
+            kv_segment_ids=kv_segment_ids, scale=scale,
+        )
+
+    b, lq, h, d = q.shape
+    _, lk, hkv, _ = k.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    if segment_ids is None:
+        q_seg = jnp.zeros((b, lq), jnp.int32)
+        kv_seg = jnp.zeros((b, lk), jnp.int32)
+    else:
+        q_seg = segment_ids.astype(jnp.int32)
+        kv_seg = (
+            kv_segment_ids if kv_segment_ids is not None else segment_ids
+        ).astype(jnp.int32)
+
+    block_q = _pick_block(block_q, lq)
+    block_k = _pick_block(block_k, lk)
+
+    # BHLD layout for the kernel
+    qt = _pad_to(q.transpose(0, 2, 1, 3), 2, block_q)
+    kt = _pad_to(k.transpose(0, 2, 1, 3), 2, block_k)
+    vt = _pad_to(v.transpose(0, 2, 1, 3), 2, block_k)
+    # padded kv must never match any real segment: pad kv with -1, q with -2
+    q_seg_p = jnp.pad(
+        q_seg, ((0, 0), (0, qt.shape[2] - lq)), constant_values=-2
+    )
+    kv_seg_p = jnp.pad(
+        kv_seg, ((0, 0), (0, kt.shape[2] - lk)), constant_values=-1
+    )
+
+    out = _flash_call(
+        qt, kt, vt, q_seg_p, kv_seg_p,
+        causal=causal, scale=scale,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+        num_q_heads=h,
+    )
+    return out[:, :, :lq].transpose(0, 2, 1, 3)

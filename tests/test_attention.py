@@ -1,0 +1,67 @@
+"""Flash attention (interpret-mode Pallas) vs XLA reference."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from rga3_tpu.ops.attention import flash_attention, mha_reference
+
+
+def _rand(shape, seed):
+    return jnp.asarray(
+        np.random.default_rng(seed).normal(size=shape).astype(np.float32)
+    )
+
+
+def test_reference_causal_gqa():
+    q = _rand((2, 16, 8, 16), 0)
+    k = _rand((2, 16, 2, 16), 1)
+    v = _rand((2, 16, 2, 16), 2)
+    out = mha_reference(q, k, v, causal=True)
+    assert out.shape == q.shape
+    # first token only attends to itself
+    expect0 = np.asarray(v[:, 0])
+    got0 = np.asarray(out[:, 0, 0::4])  # heads sharing kv head 0..1
+    np.testing.assert_allclose(got0[:, 0], expect0[:, 0], rtol=1e-5)
+
+
+def test_reference_segment_ids_block_cross_attention():
+    q = _rand((1, 8, 2, 16), 3)
+    k, v = _rand((1, 8, 2, 16), 4), _rand((1, 8, 2, 16), 5)
+    seg = jnp.asarray([[0, 0, 0, 0, 1, 1, 1, 1]])
+    out = mha_reference(q, k, v, segment_ids=seg)
+    # segment 1 output must equal attention computed on segment alone
+    out_b = mha_reference(q[:, 4:], k[:, 4:], v[:, 4:])
+    np.testing.assert_allclose(
+        np.asarray(out[:, 4:]), np.asarray(out_b), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("lq,lk", [(128, 128), (256, 256)])
+def test_flash_interpret_matches_reference(causal, lq, lk):
+    q = _rand((1, lq, 2, 64), 6)
+    k = _rand((1, lk, 2, 64), 7)
+    v = _rand((1, lk, 2, 64), 8)
+    ref = mha_reference(q, k, v, causal=causal)
+    got = flash_attention(
+        q, k, v, causal=causal, interpret=True, block_q=128, block_k=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_flash_interpret_segments_and_padding():
+    lq = 200  # forces padding to 256
+    q = _rand((1, lq, 2, 32), 9)
+    k, v = _rand((1, lq, 2, 32), 10), _rand((1, lq, 2, 32), 11)
+    seg = jnp.asarray(
+        (np.arange(lq) // 50)[None, :], jnp.int32
+    )  # 4 segments of 50
+    ref = mha_reference(q, k, v, segment_ids=seg)
+    got = flash_attention(
+        q, k, v, segment_ids=seg, interpret=True, block_q=128, block_k=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )

@@ -1,0 +1,57 @@
+"""Tiny-config Qwen LM: forward shape, KV-cache decode == full forward."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rga3_tpu.models.qwen25vl import tiny_config
+from rga3_tpu.models.qwen25vl.language import QwenForCausalLM, make_kv_cache
+
+
+def _build():
+    cfg = tiny_config(vocab_size=128).text
+    model = QwenForCausalLM(cfg)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 128, size=(2, 10)), jnp.int32
+    )
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids)
+    return cfg, model, params, ids
+
+
+def test_forward_shapes():
+    cfg, model, params, ids = _build()
+    out = model.apply(params, input_ids=ids)
+    assert out["logits"].shape == (2, 10, 128)
+    assert out["hidden_states"].shape == (2, 10, cfg.hidden_size)
+
+
+def test_cached_decode_matches_full_forward():
+    cfg, model, params, ids = _build()
+    full = model.apply(params, input_ids=ids)
+
+    cache = make_kv_cache(cfg, batch=2, max_len=16, dtype=jnp.float32)
+    # prefill with first 6 tokens
+    out = model.apply(params, input_ids=ids[:, :6], cache=cache)
+    cache = out["cache"]
+    logits_steps = [out["logits"]]
+    for t in range(6, 10):
+        out = model.apply(params, input_ids=ids[:, t : t + 1], cache=cache)
+        cache = out["cache"]
+        logits_steps.append(out["logits"])
+    stepped = jnp.concatenate(logits_steps, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(stepped), np.asarray(full["logits"]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_segment_ids_isolate_padding():
+    cfg, model, params, ids = _build()
+    seg = jnp.asarray([[1] * 7 + [0] * 3, [1] * 10], jnp.int32)
+    out = model.apply(params, input_ids=ids, segment_ids=seg)
+    # sample 0's valid positions must equal an unpadded forward
+    out_short = model.apply(params, input_ids=ids[:1, :7])
+    np.testing.assert_allclose(
+        np.asarray(out["logits"][0, :7]),
+        np.asarray(out_short["logits"][0]),
+        rtol=2e-4,
+        atol=2e-4,
+    )
