@@ -1,0 +1,187 @@
+"""Hiera hierarchical windowed ViT trunk (NHWC, flax.linen).
+
+JAX rebuild of the reference trunk (ref: model/sam2.py:891-1245 — Hiera,
+MultiScaleBlock, MultiScaleAttention, PatchEmbed, window partitioning,
+q-pooling). At a fixed input size every window layout is static, so window
+partition is pure reshape/transpose — no dynamic shapes for XLA.
+
+Hiera-L: embed_dim 144, heads 2, stages (2,6,36,4), global-attention blocks
+(23,33,43), window_spec (8,4,16,8), q_stride (2,2)
+(ref: model/sam2.py:148-163).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .config import HieraConfig
+from .layers import attend
+
+
+def window_partition(x: jnp.ndarray, ws: int):
+    """(B, H, W, C) -> (B*nW, ws, ws, C) with zero padding (ref :892-914)."""
+    b, h, w, c = x.shape
+    pad_h = (-h) % ws
+    pad_w = (-w) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, c)
+    return x, (hp, wp)
+
+
+def window_unpartition(
+    windows: jnp.ndarray, ws: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
+):
+    hp, wp = pad_hw
+    h, w = hw
+    b = windows.shape[0] // ((hp // ws) * (wp // ws))
+    x = windows.reshape(b, hp // ws, wp // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+def _max_pool_2x2(x: jnp.ndarray, stride: Tuple[int, int]) -> jnp.ndarray:
+    """nn.MaxPool2d(kernel=stride, stride=stride) on NHWC."""
+    return nn.max_pool(
+        x, window_shape=stride, strides=stride, padding="VALID"
+    )
+
+
+class MultiScaleBlock(nn.Module):
+    cfg: HieraConfig
+    dim: int
+    dim_out: int
+    num_heads: int
+    window_size: int  # 0 = global attention
+    do_q_pool: bool
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        shortcut = x  # (B, H, W, C)
+        normed = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+
+        if self.dim != self.dim_out:
+            proj = nn.Dense(self.dim_out, name="proj")(normed)
+            shortcut = (
+                _max_pool_2x2(proj, cfg.q_stride) if self.do_q_pool else proj
+            )
+
+        # window partition
+        ws = self.window_size
+        h, w = x.shape[1:3]
+        if ws > 0:
+            attn_in, pad_hw = window_partition(normed, ws)
+        else:
+            attn_in, pad_hw = normed, (h, w)
+
+        # attention with optional q pooling
+        b_, ah, aw, _ = attn_in.shape
+        qkv = nn.Dense(3 * self.dim_out, name="attn_qkv")(attn_in)
+        qkv = qkv.reshape(b_, ah * aw, 3, self.num_heads, -1)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.do_q_pool:
+            hd = q.shape[-1]
+            q = q.reshape(b_, ah, aw, self.num_heads * hd)
+            q = _max_pool_2x2(q, cfg.q_stride)
+            ah, aw = q.shape[1:3]
+            q = q.reshape(b_, ah * aw, self.num_heads, hd)
+        out = attend(q, k, v)
+        out = out.reshape(b_, ah, aw, -1)
+        out = nn.Dense(self.dim_out, name="attn_proj")(out)
+
+        if self.do_q_pool:
+            ws_out = ws // cfg.q_stride[0] if ws > 0 else 0
+            h_out, w_out = shortcut.shape[1:3]
+            if ws > 0:
+                pad_hw = (
+                    h_out + ((-h_out) % ws_out),
+                    w_out + ((-w_out) % ws_out),
+                )
+                out = window_unpartition(out, ws_out, pad_hw, (h_out, w_out))
+        else:
+            if ws > 0:
+                out = window_unpartition(out, ws, pad_hw, (h, w))
+
+        x = shortcut + out
+        normed2 = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        hidden = nn.Dense(
+            int(self.dim_out * cfg.mlp_ratio), name="mlp_layers_0"
+        )(normed2)
+        hidden = nn.gelu(hidden, approximate=False)
+        out2 = nn.Dense(self.dim_out, name="mlp_layers_1")(hidden)
+        return x + out2
+
+
+class Hiera(nn.Module):
+    """Returns per-stage feature maps, highest resolution first
+    (B, H/4, W/4, 144) ... (B, H/32, W/32, 1152) for Hiera-L."""
+
+    cfg: HieraConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        cfg = self.cfg
+        # patch embed: conv 7x7 stride 4 pad 3 (ref PatchEmbed :943-976)
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_kernel, cfg.patch_kernel),
+            strides=(cfg.patch_stride, cfg.patch_stride),
+            padding=[(cfg.patch_padding, cfg.patch_padding)] * 2,
+            name="patch_embed_proj",
+        )(x)
+
+        # windowed positional embedding (ref _get_pos_embed :1199-1208)
+        h, w = x.shape[1:3]
+        pos_bkg = self.param(
+            "pos_embed",
+            nn.initializers.zeros,
+            (1, *cfg.window_pos_embed_bkg_spatial_size, cfg.embed_dim),
+        )
+        ws0 = cfg.window_spec[0]
+        pos_win = self.param(
+            "pos_embed_window",
+            nn.initializers.zeros,
+            (1, ws0, ws0, cfg.embed_dim),
+        )
+        pos = jax.image.resize(
+            pos_bkg.astype(jnp.float32), (1, h, w, cfg.embed_dim), "bicubic"
+        )
+        tiles = (1, h // ws0, w // ws0, 1)
+        pos = pos + jnp.tile(pos_win.astype(jnp.float32), tiles)
+        x = x + pos.astype(x.dtype)
+
+        stage_ends = cfg.stage_ends
+        q_pool_blocks = set(cfg.q_pool_blocks)
+        outputs: List[jnp.ndarray] = []
+        dim = cfg.embed_dim
+        heads = cfg.num_heads
+        cur_stage = 1
+        for i in range(cfg.depth):
+            dim_out = dim
+            # window size lags one block behind the stage transition
+            window_size = cfg.window_spec[cur_stage - 1]
+            if i in cfg.global_att_blocks:
+                window_size = 0
+            if i - 1 in stage_ends:
+                dim_out = int(dim * cfg.dim_mul)
+                heads = int(heads * cfg.head_mul)
+                cur_stage += 1
+            x = MultiScaleBlock(
+                cfg,
+                dim=dim,
+                dim_out=dim_out,
+                num_heads=heads,
+                window_size=window_size,
+                do_q_pool=(i in q_pool_blocks),
+                name=f"blocks_{i}",
+            )(x)
+            dim = dim_out
+            if i in stage_ends:
+                outputs.append(x)
+        return outputs

@@ -247,6 +247,14 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
+    # Pad odd head dims (e.g. Hiera's 72/144) to a lane multiple; zero q/k
+    # columns don't change logits and padded v columns are sliced off below.
+    d_pad = -(-d // 128) * 128
+    if d_pad != d:
+        q = _pad_to(q, 3, 128)
+        k = _pad_to(k, 3, 128)
+        v = _pad_to(v, 3, 128)
+
     if segment_ids is None:
         q_seg = jnp.zeros((b, lq), jnp.int32)
         kv_seg = jnp.zeros((b, lk), jnp.int32)
@@ -277,4 +285,4 @@ def flash_attention(
         block_q=block_q, block_k=block_k, interpret=interpret,
         num_q_heads=h,
     )
-    return out[:, :, :lq].transpose(0, 2, 1, 3)
+    return out[:, :, :lq, :d].transpose(0, 2, 1, 3)

@@ -1,0 +1,85 @@
+"""SAM2 tiny-config: encoder shapes, language decode, memory tracking scan."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rga3_tpu.models.sam2 import tiny_sam2_config
+from rga3_tpu.models.sam2.model import Sam2Model
+from rga3_tpu.models.sam2.video import segment_video_with_language, track_video
+
+
+@pytest.fixture(scope="module")
+def sam2():
+    cfg = tiny_sam2_config(image_size=64)
+    model = Sam2Model(cfg)
+    frames = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    lang = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 1, cfg.d_model)).astype(
+            np.float32
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), frames, lang)
+    return cfg, model, params, frames, lang
+
+
+def test_forward_image_shapes(sam2):
+    cfg, model, params, frames, _ = sam2
+    out = model.apply(params, frames, method=Sam2Model.forward_image)
+    fpn = out["backbone_fpn"]
+    assert len(fpn) == 3
+    s = cfg.feat_size  # 64/16 = 4
+    assert fpn[2].shape == (2, s, s, cfg.d_model)
+    assert fpn[1].shape == (2, 2 * s, 2 * s, cfg.d_model // 4)
+    assert fpn[0].shape == (2, 4 * s, 4 * s, cfg.d_model // 8)
+
+
+def test_language_decode_shapes_and_sensitivity(sam2):
+    cfg, model, params, frames, lang = sam2
+    out = model.apply(
+        params, frames, lang, method=Sam2Model.decode_frames_with_language
+    )
+    assert out["high_res_masks"].shape == (2, 1, 64, 64)
+    assert out["low_res_masks"].shape == (2, 1, 16, 16)
+    assert out["obj_ptr"].shape == (2, cfg.d_model)
+    # language prompt must influence the masks
+    out2 = model.apply(
+        params, frames, lang + 1.0,
+        method=Sam2Model.decode_frames_with_language,
+    )
+    assert (
+        float(jnp.abs(out["high_res_masks"] - out2["high_res_masks"]).max())
+        > 1e-6
+    )
+
+
+def test_segment_video_chunking_matches_single_call(sam2):
+    cfg, model, params, frames, lang = sam2
+    full = model.apply(
+        params, frames, lang, method=Sam2Model.decode_frames_with_language
+    )["high_res_masks"]
+    chunked = segment_video_with_language(
+        model, params, frames, lang, chunk=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(full), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_track_video_runs_and_uses_memory(sam2):
+    cfg, model, params, frames, lang = sam2
+    frames4 = jnp.concatenate([frames, frames], axis=0)  # T=4
+    out = track_video(model, params, frames4, language_embd=lang[:1])
+    assert out["high_res_masks"].shape == (4, 1, 64, 64)
+    assert np.isfinite(np.asarray(out["high_res_masks"])).all()
+    # memory conditioning means identical frames at t=1 and t=3 can differ
+    # (different memory banks) — just assert tracking produced distinct
+    # masks from the init-cond frame decode
+    init = model.apply(
+        params, frames4[1:2], lang[:1],
+        method=Sam2Model.decode_frames_with_language,
+    )["high_res_masks"]
+    diff = float(jnp.abs(out["high_res_masks"][1] - init[0]).max())
+    assert diff > 1e-7
