@@ -1,0 +1,148 @@
+"""J&F video-segmentation metrics (numpy, no cv2/skimage dependency).
+
+Numerically equivalent to the reference's DAVIS-style metrics
+(ref: evaluation/mevis_val_u/metrics.py:6-56 — db_eval_iou J, f_measure
+boundary F with 1px seg2bmap boundaries and disk-dilated matching). The
+disk structuring element matches skimage.morphology.disk; dilation is a
+binary max-filter (what cv2.dilate computes on 0/1 masks).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+
+def db_eval_iou(
+    annotation: np.ndarray,
+    segmentation: np.ndarray,
+    void_pixels: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Jaccard index over trailing (H, W) axes; empty∩empty == 1."""
+    annotation = annotation.astype(bool)
+    segmentation = segmentation.astype(bool)
+    if void_pixels is None:
+        void = np.zeros_like(segmentation)
+    else:
+        void = void_pixels.astype(bool)
+    inters = np.sum((segmentation & annotation) & ~void, axis=(-2, -1))
+    union = np.sum((segmentation | annotation) & ~void, axis=(-2, -1))
+    j = inters / np.maximum(union, 1)
+    close_zero = np.isclose(union, 0)
+    if j.ndim == 0:
+        return np.asarray(1.0) if close_zero else j
+    j = np.where(close_zero, 1.0, j)
+    return j
+
+
+def _disk(radius: int) -> np.ndarray:
+    """skimage.morphology.disk: L2 ball of given integer radius."""
+    r = int(radius)
+    y, x = np.ogrid[-r : r + 1, -r : r + 1]
+    return (x * x + y * y <= r * r).astype(np.uint8)
+
+
+def _binary_dilate(mask: np.ndarray, selem: np.ndarray) -> np.ndarray:
+    """Binary dilation via shifted ORs (equivalent to cv2.dilate on 0/1)."""
+    h, w = mask.shape
+    r = selem.shape[0] // 2
+    out = np.zeros_like(mask, dtype=bool)
+    ys, xs = np.nonzero(selem)
+    for dy, dx in zip(ys - r, xs - r):
+        src_y0, src_y1 = max(0, -dy), min(h, h - dy)
+        src_x0, src_x1 = max(0, -dx), min(w, w - dx)
+        dst_y0, dst_y1 = max(0, dy), min(h, h + dy)
+        dst_x0, dst_x1 = max(0, dx), min(w, w + dx)
+        out[dst_y0:dst_y1, dst_x0:dst_x1] |= mask[
+            src_y0:src_y1, src_x0:src_x1
+        ].astype(bool)
+    return out
+
+
+def seg2bmap(seg: np.ndarray) -> np.ndarray:
+    """1-pixel-wide boundary map (ref _seg2bmap)."""
+    seg = seg.astype(bool)
+    e = np.zeros_like(seg)
+    s = np.zeros_like(seg)
+    se = np.zeros_like(seg)
+    e[:, :-1] = seg[:, 1:]
+    s[:-1, :] = seg[1:, :]
+    se[:-1, :-1] = seg[1:, 1:]
+    b = (seg ^ e) | (seg ^ s) | (seg ^ se)
+    b[-1, :] = seg[-1, :] ^ e[-1, :]
+    b[:, -1] = seg[:, -1] ^ s[:, -1]
+    b[-1, -1] = False
+    return b
+
+
+def f_measure(
+    foreground_mask: np.ndarray,
+    gt_mask: np.ndarray,
+    void_pixels: Optional[np.ndarray] = None,
+    bound_th: float = 0.008,
+) -> float:
+    if void_pixels is None:
+        void = np.zeros_like(foreground_mask, dtype=bool)
+    else:
+        void = void_pixels.astype(bool)
+    bound_pix = (
+        bound_th
+        if bound_th >= 1
+        else int(np.ceil(bound_th * np.linalg.norm(foreground_mask.shape)))
+    )
+    fg_boundary = seg2bmap(foreground_mask.astype(bool) & ~void)
+    gt_boundary = seg2bmap(gt_mask.astype(bool) & ~void)
+    selem = _disk(bound_pix)
+    fg_dil = _binary_dilate(fg_boundary, selem)
+    gt_dil = _binary_dilate(gt_boundary, selem)
+
+    gt_match = gt_boundary & fg_dil
+    fg_match = fg_boundary & gt_dil
+    n_fg = fg_boundary.sum()
+    n_gt = gt_boundary.sum()
+    if n_fg == 0 and n_gt > 0:
+        precision, recall = 1.0, 0.0
+    elif n_fg > 0 and n_gt == 0:
+        precision, recall = 0.0, 1.0
+    elif n_fg == 0 and n_gt == 0:
+        precision, recall = 1.0, 1.0
+    else:
+        precision = fg_match.sum() / float(n_fg)
+        recall = gt_match.sum() / float(n_gt)
+    if precision + recall == 0:
+        return 0.0
+    return 2 * precision * recall / (precision + recall)
+
+
+def db_eval_boundary(
+    annotation: np.ndarray,
+    segmentation: np.ndarray,
+    void_pixels: Optional[np.ndarray] = None,
+    bound_th: float = 0.008,
+):
+    if annotation.ndim == 3:
+        return np.asarray(
+            [
+                f_measure(
+                    segmentation[i], annotation[i],
+                    None if void_pixels is None else void_pixels[i],
+                    bound_th,
+                )
+                for i in range(annotation.shape[0])
+            ]
+        )
+    return f_measure(segmentation, annotation, void_pixels, bound_th)
+
+
+def jf_score(
+    annotations: np.ndarray, segmentations: np.ndarray
+) -> dict:
+    """Per-video J, F, J&F means over (T, H, W) binary masks."""
+    j = db_eval_iou(annotations, segmentations)
+    f = db_eval_boundary(annotations, segmentations)
+    return {
+        "J": float(np.mean(j)),
+        "F": float(np.mean(f)),
+        "J&F": float((np.mean(j) + np.mean(f)) / 2),
+    }

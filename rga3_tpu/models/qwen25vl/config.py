@@ -60,6 +60,10 @@ class QwenTextConfig(ConfigBase):
     mrope_section: Tuple[int, ...] = (16, 24, 24)
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 128000
+    # LoRA over q_proj/v_proj (ref: train_joint.py:193-232, r=128 α=256 in
+    # the release run — run_torchrun.sh:30-31). 0 disables.
+    lora_rank: int = 0
+    lora_alpha: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -84,9 +84,32 @@ class Attention(nn.Module):
                 ),
             )
 
-        q = dense("q_proj", h * hd, True, ("embed", "heads"))(x)
+        def lora(name, features, base):
+            """LoRA adapter: base + (alpha/r) * x @ A @ B (A ~ N(0, 1/r),
+            B zeros — the PEFT init the reference trains with)."""
+            if cfg.lora_rank <= 0:
+                return base
+            a = self.param(
+                f"{name}_lora_a",
+                nn.initializers.normal(1.0 / cfg.lora_rank),
+                (x.shape[-1], cfg.lora_rank),
+                jnp.float32,
+            )
+            bmat = self.param(
+                f"{name}_lora_b",
+                nn.initializers.zeros,
+                (cfg.lora_rank, features),
+                jnp.float32,
+            )
+            scale = cfg.lora_alpha / cfg.lora_rank
+            delta = (
+                x.astype(jnp.float32) @ a @ bmat * scale
+            ).astype(base.dtype)
+            return base + delta
+
+        q = lora("q_proj", h * hd, dense("q_proj", h * hd, True, ("embed", "heads"))(x))
         k = dense("k_proj", hkv * hd, True, ("embed", "heads"))(x)
-        v = dense("v_proj", hkv * hd, True, ("embed", "heads"))(x)
+        v = lora("v_proj", hkv * hd, dense("v_proj", hkv * hd, True, ("embed", "heads"))(x))
         q = q.reshape(b, l, h, hd)
         k = k.reshape(b, l, hkv, hd)
         v = v.reshape(b, l, hkv, hd)
