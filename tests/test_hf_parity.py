@@ -1,0 +1,142 @@
+"""Numeric parity vs HF transformers Qwen2.5-VL (tiny config, fp32).
+
+Builds a small HF Qwen2_5_VLForConditionalGeneration with random weights,
+saves it, loads through rga3_tpu's HF loader, and compares logits for a
+text-only prompt and a vision prompt. This is the checkpoint-compatibility
+guarantee (BASELINE.md: "UniGR-7B HF checkpoints load unchanged").
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from rga3_tpu.models.qwen25vl.config import (
+    Qwen25VLConfig, QwenTextConfig, QwenVisionConfig,
+)
+from rga3_tpu.models.qwen25vl.loader import map_hf_key, _set
+from rga3_tpu.models.qwen25vl.model import Qwen25VL
+from rga3_tpu.models.qwen25vl.positions import get_rope_index
+from rga3_tpu.models.qwen25vl.vision import (
+    compute_vision_layout, layout_device_args,
+)
+
+VOCAB = 151936 + 80  # covers special tokens within tiny embedding
+
+
+@pytest.fixture(scope="module")
+def hf_and_ours(tmp_path_factory):
+    hf_cfg = transformers.Qwen2_5_VLConfig(
+        vocab_size=VOCAB,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        rope_theta=1_000_000.0,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+        vision_config=dict(
+            depth=2,
+            hidden_size=32,
+            intermediate_size=64,
+            num_heads=4,
+            patch_size=14,
+            spatial_merge_size=2,
+            temporal_patch_size=2,
+            window_size=28,
+            fullatt_block_indexes=[1],
+            out_hidden_size=64,
+            tokens_per_second=2,
+        ),
+    )
+    torch.manual_seed(0)
+    hf = transformers.Qwen2_5_VLForConditionalGeneration(hf_cfg).eval()
+
+    ours_cfg = Qwen25VLConfig(
+        vision=QwenVisionConfig(
+            depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+            window_size=28, fullatt_block_indexes=(1,), out_hidden_size=64,
+        ),
+        text=QwenTextConfig(
+            vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, mrope_section=(2, 3, 3),
+            tie_word_embeddings=False,
+        ),
+    )
+    model = Qwen25VL(ours_cfg)
+
+    tree = {}
+    for key, val in hf.state_dict().items():
+        mapped = map_hf_key(key)
+        if mapped is None:
+            continue
+        path, t = mapped
+        v = val.detach().float().numpy()
+        if t == "conv3d":
+            v = v.reshape(v.shape[0], -1).T
+        elif t:
+            v = v.T
+        _set(tree, path, v)
+    params = {"params": tree}
+    return hf, hf_cfg, model, ours_cfg, params
+
+
+def test_text_only_logits_match(hf_and_ours):
+    hf, hf_cfg, model, ours_cfg, params = hf_and_ours
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 1000, size=(2, 9)).astype(np.int64)
+    with torch.no_grad():
+        out_hf = hf(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.ones(2, 9, dtype=torch.long),
+        ).logits.numpy()
+    pos, _ = get_rope_index(ours_cfg, ids)
+    out = model.apply(
+        params,
+        input_ids=jnp.asarray(ids, jnp.int32),
+        position_ids=jnp.asarray(pos),
+    )["logits"]
+    np.testing.assert_allclose(
+        np.asarray(out), out_hf, rtol=2e-3, atol=2e-3
+    )
+
+
+def test_vision_logits_match(hf_and_ours):
+    hf, hf_cfg, model, ours_cfg, params = hf_and_ours
+    rng = np.random.default_rng(1)
+    grid = (1, 4, 6)  # 24 patches -> 6 merged tokens
+    n_vis = 24 // 4
+    patches = rng.normal(size=(24, 3 * 2 * 14 * 14)).astype(np.float32)
+
+    # well-formed vision span: <|vision_start|> pads <|vision_end|>
+    ids = rng.integers(0, 1000, size=(1, 8 + n_vis)).astype(np.int64)
+    ids[0, 0] = 11
+    ids[0, 2] = hf_cfg.vision_start_token_id
+    ids[0, 3 : 3 + n_vis] = hf_cfg.image_token_id
+    ids[0, 3 + n_vis] = hf_cfg.vision_end_token_id
+    with torch.no_grad():
+        out_hf = hf(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.ones_like(torch.tensor(ids)),
+            pixel_values=torch.tensor(patches),
+            image_grid_thw=torch.tensor([list(grid)]),
+        ).logits.numpy()
+
+    layout = compute_vision_layout([grid], ours_cfg.vision)
+    la = layout_device_args(layout, ours_cfg.vision)
+    pos, _ = get_rope_index(ours_cfg, ids, image_grid_thw=[grid])
+    out = model.apply(
+        params,
+        input_ids=jnp.asarray(ids, jnp.int32),
+        position_ids=jnp.asarray(pos),
+        pixel_patches=jnp.asarray(patches),
+        vision_layout=la,
+    )["logits"]
+    np.testing.assert_allclose(
+        np.asarray(out), out_hf, rtol=3e-3, atol=3e-3
+    )

@@ -1,0 +1,59 @@
+"""STOM overlay propagation on a synthetic moving-square video."""
+import numpy as np
+from PIL import Image, ImageDraw
+
+from rga3_tpu.models.stom import STOM
+
+
+def _synthetic_video(t=5, size=128, step=6):
+    """A textured square moving right by `step` px/frame."""
+    rng = np.random.default_rng(0)
+    tex = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    frames = []
+    for i in range(t):
+        bg = np.full((size, size, 3), 30, np.uint8)
+        x = 20 + step * i
+        bg[40:80, x : x + 40] = tex
+        frames.append(Image.fromarray(bg))
+    return frames
+
+
+def _overlay_rect(size=128, box=(18, 38, 62, 82)):
+    vip = Image.new("RGBA", (size, size), (0, 0, 0, 0))
+    d = ImageDraw.Draw(vip)
+    d.rectangle(box, outline=(255, 0, 0, 200), width=3)
+    return vip
+
+
+def test_propagate_rectangle_follows_motion():
+    frames = _synthetic_video()
+    vip = _overlay_rect()
+    stom = STOM()
+    out = stom.propagate_in_video(frames, vip, 0, shape="rectangle",
+                                  grid_size=40)
+    assert len(out) == len(frames)
+    # overlay red pixels should shift right in later frames
+    def red_centroid(img):
+        a = np.asarray(img).astype(int)
+        redness = (a[:, :, 0] - a[:, :, 1] - a[:, :, 2])
+        ys, xs = np.nonzero(redness > 100)
+        return xs.mean() if len(xs) else None
+
+    c0 = red_centroid(out[0])
+    c4 = red_centroid(out[4])
+    assert c0 is not None and c4 is not None
+    assert c4 > c0 + 10  # tracked ~24 px of motion
+
+
+def test_propagate_mask_shape_draws_disc():
+    frames = _synthetic_video()
+    vip = Image.new("RGBA", (128, 128), (0, 0, 0, 0))
+    d = ImageDraw.Draw(vip)
+    d.rectangle([30, 50, 70, 70], fill=(0, 0, 255, 120))
+    stom = STOM()
+    out = stom.propagate_in_video(frames, vip, 0, shape="mask", grid_size=40)
+    assert len(out) == len(frames)
+    # later frames should contain some blue-ish overlay pixels
+    a = np.asarray(out[2]).astype(int)
+    blueness = a[:, :, 2] - a[:, :, 0]
+    assert (blueness > 40).sum() > 0
