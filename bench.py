@@ -11,9 +11,13 @@ through one jitted call.
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import time
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FPS = 27.0  # ref model/sam2.py:3783-3785 (768² model, 1 object)
 
@@ -29,7 +33,9 @@ def main():
     model = Sam2Model(cfg)
     rng = np.random.default_rng(0)
 
-    B = 4  # frames per jitted call
+    B = 1  # frames per jitted call (matches the cached compile; batching
+    # is a round-2 optimization — the remote compiler here is slow/variable
+    # for fresh graphs, see .jax_cache)
     frames = jnp.asarray(
         rng.normal(size=(B, cfg.image_size, cfg.image_size, 3)).astype(
             np.float32
@@ -41,13 +47,23 @@ def main():
         dtype=jnp.bfloat16,
     )
 
-    # init on an abstract pass, then cast to bf16 for MXU-native matmuls
-    params = jax.jit(
+    # shapes via eval_shape (no compile), random init directly on device in
+    # bf16 — a jitted init graph of the full model is pathologically slow to
+    # compile through this environment's remote-compile tunnel
+    shapes = jax.eval_shape(
         lambda k: model.init(
             k, frames, lang, method=Sam2Model.decode_frames_with_language
-        )
-    )(jax.random.PRNGKey(0))
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        ),
+        jax.random.PRNGKey(0),
+    )
+    key = jax.random.PRNGKey(0)
+    params = jax.tree.map(
+        lambda s: (jax.random.normal(key, s.shape) * 0.02).astype(
+            jnp.bfloat16
+        ),
+        shapes,
+    )
+    jax.block_until_ready(params)
 
     @jax.jit
     def run(fr, le):
@@ -59,11 +75,10 @@ def main():
     # warmup/compile
     run(frames, lang).block_until_ready()
 
-    iters = 8
+    iters = 32
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(frames, lang)
-    out.block_until_ready()
+    outs = [run(frames + i, lang) for i in range(iters)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     fps = (iters * B) / dt
 

@@ -1,0 +1,103 @@
+"""Hybrid dataset mixer: normalized sample-rate multinomial choice per item
+(ref: utils/dataset.py:137-408 ImgVidHybridDataset; fixed samples_per_epoch
+= bs * accum * steps * world_size — train_joint.py:255-260)."""
+from __future__ import annotations
+
+import random
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..collate import TrainSample
+from .base import TaskDataset
+from .image_seg import ReasonSegDataset, ReferSegDataset, SemSegDataset
+from .qa import ReferVideoQADataset, VideoQADataset, VQADataset
+from .video_seg import VideoExpressionDataset, YTVOSDataset
+
+
+def _mevis(base_dir, **kw):
+    import os
+
+    return VideoExpressionDataset(
+        os.path.join(base_dir, "mevis"), splits=("train", "valid_u"), **kw
+    )
+
+
+def _refer_vos(base_dir, **kw):
+    import os
+
+    return VideoExpressionDataset(
+        os.path.join(base_dir, "refer_youtube_vos"), splits=("train",), **kw
+    )
+
+
+def _revos(base_dir, **kw):
+    import os
+
+    return VideoExpressionDataset(
+        os.path.join(base_dir, "revos"), splits=("train",), **kw
+    )
+
+
+def _ref_davis(base_dir, **kw):
+    import os
+
+    return VideoExpressionDataset(
+        os.path.join(base_dir, "ref_davis"), splits=("train",), **kw
+    )
+
+
+DATASET_REGISTRY: Dict[str, Callable[..., TaskDataset]] = {
+    "sem_seg": SemSegDataset,
+    "refer_seg": ReferSegDataset,
+    "reason_seg": ReasonSegDataset,
+    "vqa": VQADataset,
+    "videoqa": VideoQADataset,
+    "refer_vqa": VQADataset,  # Osprey/ViP-LLaVA share the LLaVA json schema
+    "refer_videoqa": ReferVideoQADataset,
+    "mevis": _mevis,
+    "refer_vos": _refer_vos,
+    "revos": _revos,
+    "ref_davis": _ref_davis,
+    "vos": YTVOSDataset,
+}
+
+
+class ImgVidHybridDataset:
+    def __init__(
+        self,
+        base_dir: str,
+        datasets: Sequence[str],
+        sample_rates: Sequence[float],
+        samples_per_epoch: int,
+        seed: int = 0,
+        **dataset_kwargs,
+    ):
+        assert len(datasets) == len(sample_rates)
+        self.samples_per_epoch = samples_per_epoch
+        self.all_datasets: List[TaskDataset] = []
+        rates: List[float] = []
+        for name, rate in zip(datasets, sample_rates):
+            if name not in DATASET_REGISTRY:
+                raise KeyError(f"unknown dataset {name!r}")
+            ds = DATASET_REGISTRY[name](base_dir, **dataset_kwargs)
+            if len(ds) == 0:
+                continue  # dataset not present on disk
+            self.all_datasets.append(ds)
+            rates.append(rate)
+        if not self.all_datasets:
+            raise FileNotFoundError(
+                f"no datasets found under {base_dir} for {datasets}"
+            )
+        r = np.asarray(rates, np.float64)
+        self.rates = r / r.sum()
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.samples_per_epoch
+
+    def __getitem__(self, idx) -> TrainSample:
+        ds = self.all_datasets[
+            int(self.rng.choice(len(self.all_datasets), p=self.rates))
+        ]
+        return ds.sample()

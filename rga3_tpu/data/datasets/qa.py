@@ -1,0 +1,236 @@
+"""QA datasets without segmentation supervision: LLaVA-Instruct images,
+LLaVA-Video clips, and region-level (visual-prompt) QA.
+
+Rebuilds of ref utils/{vqa,videoqa,refer_vqa,refer_videoqa}_dataset.py.
+QA-only samples carry `has_masks=False` — the static-shape stand-in for the
+reference's zero-mask sentinel (ref: refer_vqa_datatset.py:115).
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ...utils import rle as rle_codec
+from ..collate import TrainSample
+from ..processor import ChatMessage
+from ..templates import VISUAL_PROMPT, WORDS_SHAPE
+from ..visual_prompts import COLOR_POOL, image_blending
+from .base import (
+    TaskDataset,
+    random_dense_subset,
+    sam_preprocess_frame,
+)
+
+
+def _qa_messages(content_type: str, turns: Sequence[Dict]) -> List[ChatMessage]:
+    """turns: [{"from": "human"/"gpt", "value": ...}] LLaVA style."""
+    msgs: List[ChatMessage] = []
+    first_user = True
+    for t in turns:
+        text = t["value"].replace("<image>", "").replace("<video>", "").strip()
+        if t["from"] == "human":
+            content = []
+            if first_user:
+                content.append({"type": content_type})
+                first_user = False
+            content.append({"type": "text", "text": text})
+            msgs.append(ChatMessage("user", content))
+        else:
+            msgs.append(
+                ChatMessage("assistant", [{"type": "text", "text": text}])
+            )
+    return msgs
+
+
+def _dummy_sam(num_frames_sam: int, sam_size: int, mask_res: int):
+    frames = np.zeros((num_frames_sam, sam_size, sam_size, 3), np.float32)
+    gt = np.zeros((num_frames_sam, mask_res, mask_res), np.float32)
+    return frames, gt
+
+
+class VQADataset(TaskDataset):
+    """LLaVA-Instruct-150k (ref: utils/vqa_dataset.py)."""
+
+    name = "vqa"
+
+    def __init__(
+        self,
+        base_dir: str,
+        json_name: str = "llava_instruct_150k.json",
+        image_dir: str = "coco/train2017",
+        num_frames_mllm: int = 8,
+        num_frames_sam: int = 4,
+        sam_size: int = 1024,
+        mask_res: int = 256,
+    ):
+        path = os.path.join(base_dir, "llava_dataset", json_name)
+        self.items = []
+        if os.path.exists(path):
+            with open(path) as f:
+                self.items = json.load(f)
+        self.image_dir = os.path.join(base_dir, image_dir)
+        self.num_frames_sam = num_frames_sam
+        self.sam_size = sam_size
+        self.mask_res = mask_res
+
+    def __len__(self):
+        return len(self.items)
+
+    def sample(self) -> TrainSample:
+        from PIL import Image
+
+        item = random.choice(self.items)
+        img = np.asarray(
+            Image.open(
+                os.path.join(self.image_dir, item["image"])
+            ).convert("RGB")
+        )
+        frames, gt = _dummy_sam(
+            self.num_frames_sam, self.sam_size, self.mask_res
+        )
+        return TrainSample(
+            sample_id=str(item.get("id", "vqa")),
+            messages=_qa_messages("image", item["conversations"]),
+            images=[img],
+            sam_frames=frames,
+            gt_masks=gt,
+            has_masks=False,
+        )
+
+
+class VideoQADataset(TaskDataset):
+    """LLaVA-Video-178K style: json items with video paths
+    (ref: utils/videoqa_dataset.py, decord -> cv2 here)."""
+
+    name = "videoqa"
+
+    def __init__(
+        self,
+        base_dir: str,
+        json_name: str = "llava_video_178k.json",
+        video_dir: str = "videos",
+        num_frames_mllm: int = 8,
+        num_frames_sam: int = 4,
+        sam_size: int = 1024,
+        mask_res: int = 256,
+    ):
+        path = os.path.join(base_dir, "llava_video", json_name)
+        self.items = []
+        if os.path.exists(path):
+            with open(path) as f:
+                self.items = json.load(f)
+        self.video_dir = os.path.join(base_dir, "llava_video", video_dir)
+        self.num_frames_mllm = num_frames_mllm
+        self.num_frames_sam = num_frames_sam
+        self.sam_size = sam_size
+        self.mask_res = mask_res
+
+    def __len__(self):
+        return len(self.items)
+
+    def sample(self) -> TrainSample:
+        from ..video import load_frames_from_video
+
+        item = random.choice(self.items)
+        frames, _, fps = load_frames_from_video(
+            os.path.join(self.video_dir, item["video"]),
+            num_frames=self.num_frames_mllm,
+        )
+        sam_frames, gt = _dummy_sam(
+            self.num_frames_sam, self.sam_size, self.mask_res
+        )
+        return TrainSample(
+            sample_id=str(item.get("id", "videoqa")),
+            messages=_qa_messages("video", item["conversations"]),
+            video_frames=frames,
+            sam_frames=sam_frames,
+            gt_masks=gt,
+            has_masks=False,
+        )
+
+
+class ReferVideoQADataset(TaskDataset):
+    """VideoInfer train split: RLE object masks; ONE random key frame gets
+    a random shape/color overlay; the question is prefixed with the
+    VISUAL_PROMPT sentence (ref: utils/refer_videoqa_dataset.py:231-241,
+    utils/utils.py:53)."""
+
+    name = "refer_videoqa"
+
+    def __init__(
+        self,
+        base_dir: str,
+        json_name: str = "videoinfer_train.json",
+        num_frames_mllm: int = 8,
+        num_frames_sam: int = 4,
+        sam_size: int = 1024,
+        mask_res: int = 256,
+    ):
+        path = os.path.join(base_dir, "videoinfer", json_name)
+        self.items = []
+        if os.path.exists(path):
+            with open(path) as f:
+                self.items = json.load(f)
+        self.base = os.path.join(base_dir, "videoinfer")
+        self.num_frames_mllm = num_frames_mllm
+        self.num_frames_sam = num_frames_sam
+        self.sam_size = sam_size
+        self.mask_res = mask_res
+
+    def __len__(self):
+        return len(self.items)
+
+    def sample(self) -> TrainSample:
+        from PIL import Image
+
+        item = random.choice(self.items)
+        frame_dir = os.path.join(self.base, "frames", item["video"])
+        names = sorted(os.listdir(frame_dir))
+        idxs = sorted(
+            random.sample(
+                range(len(names)), min(self.num_frames_mllm, len(names))
+            )
+        )
+        frames = [
+            np.asarray(
+                Image.open(os.path.join(frame_dir, names[i])).convert("RGB")
+            )
+            for i in idxs
+        ]
+        # overlay a random keyframe with the object mask
+        key = random.randrange(len(frames))
+        masks_rle = item.get("masks", {})
+        key_mask = None
+        frame_key = os.path.splitext(names[idxs[key]])[0]
+        if frame_key in masks_rle and masks_rle[frame_key] is not None:
+            key_mask = rle_codec.decode(masks_rle[frame_key])
+        shape = random.choice(list(WORDS_SHAPE.keys()))
+        color = random.choice(list(COLOR_POOL.keys()))
+        if key_mask is not None and key_mask.sum() > 0:
+            blended, _ = image_blending(
+                Image.fromarray(frames[key]), shape=shape, mask=key_mask,
+                rgb_value=COLOR_POOL[color], image_size_anchor=448,
+            )
+            frames[key] = np.asarray(blended)
+        prep, shape_word = WORDS_SHAPE[shape]
+        prefix = VISUAL_PROMPT.format(
+            prep=prep, color=color, shape=shape_word
+        )
+        turns = [dict(t) for t in item["conversations"]]
+        if turns and turns[0]["from"] == "human":
+            turns[0]["value"] = prefix + turns[0]["value"]
+        sam_frames, gt = _dummy_sam(
+            self.num_frames_sam, self.sam_size, self.mask_res
+        )
+        return TrainSample(
+            sample_id=str(item.get("id", "refer_videoqa")),
+            messages=_qa_messages("video", turns),
+            video_frames=frames,
+            sam_frames=sam_frames,
+            gt_masks=gt,
+            has_masks=False,
+        )

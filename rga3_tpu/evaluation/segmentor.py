@@ -1,0 +1,252 @@
+"""High-level UniGR inference wrappers used by all benchmark drivers.
+
+`UniGRSegmentor.segment_video` reproduces the reference eval recipe
+(ref: evaluation/mevis_val_u/inference_mevis.py:156-217 + model.evaluate):
+sparse K frames to the MLLM, ALL frames to SAM at 1024², teacher-forced
+"<expression>? ... Sure, [SEG]." conversation, [SEG] hidden state ->
+batched per-frame mask decoding, bilinear resize to the original size,
+sigmoid > 0.5 threshold.
+
+`UniGRChat.answer` is the free-form QA path (ref: inference_videoinfer.py
+:277-321 — greedy, max_new_tokens).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..data.processor import ChatMessage, QwenVLProcessor
+from ..data.templates import get_sparse_indices
+from ..models.qwen25vl.positions import get_rope_index
+from ..models.qwen25vl.vision import compute_vision_layout, layout_device_args
+from ..models.unigr.model import UniGR
+from ..data.datasets.base import sam_preprocess_frame
+
+
+def build_seg_messages(expression: str) -> List[ChatMessage]:
+    """Teacher-forced [SEG] conversation (ref inference_mevis.py:194-202)."""
+    q = (
+        f"Can you segment the {expression.strip().lower()} in this video?"
+    )
+    return [
+        ChatMessage("user", [
+            {"type": "video"},
+            {"type": "text", "text": q},
+        ]),
+        ChatMessage("assistant", [{"type": "text", "text": "Sure, [SEG]."}]),
+    ]
+
+
+class UniGRSegmentor:
+    def __init__(
+        self,
+        model: UniGR,
+        params,
+        processor: QwenVLProcessor,
+        num_frames_mllm: int = 8,
+        sam_chunk: int = 8,
+        compute_dtype=None,
+    ):
+        import jax.numpy as jnp
+
+        self.model = model
+        self.params = params
+        self.processor = processor
+        self.num_frames_mllm = num_frames_mllm
+        self.sam_chunk = sam_chunk
+        self.compute_dtype = compute_dtype or jnp.float32
+
+    def segment_video(
+        self,
+        frames: Sequence[np.ndarray],  # (H, W, 3) uint8 RGB, all frames
+        expression: str,
+    ) -> np.ndarray:
+        """Returns (T, H, W) bool masks at the original frame size."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.resize import resize_bilinear
+
+        h, w = frames[0].shape[:2]
+        t_all = len(frames)
+        sparse_idx = get_sparse_indices(t_all, self.num_frames_mllm)
+        mllm_frames = [frames[i] for i in sparse_idx]
+
+        msgs = build_seg_messages(expression)
+        enc = self.processor(
+            msgs, videos=[mllm_frames], add_generation_prompt=False
+        )
+        input_ids = enc["input_ids"]
+        grids = enc.get("video_grid_thw", [])
+        pos, _ = get_rope_index(
+            self.model.cfg.qwen, input_ids,
+            video_grid_thw=grids,
+            second_per_grid_ts=enc.get("second_per_grid_ts"),
+        )
+        layout = compute_vision_layout(grids, self.model.cfg.qwen.vision)
+        la = layout_device_args(layout, self.model.cfg.qwen.vision)
+
+        # run LLM once to get the [SEG] embedding, then chunk SAM frames
+        sam_size = self.model.cfg.sam2.image_size
+        out_masks = np.zeros((t_all, h, w), bool)
+        # encode all SAM frames in chunks through evaluate_step-equivalent:
+        # first chunk call computes the language embedding too; to avoid
+        # rerunning the LLM per chunk, split the steps manually.
+        qwen_out = self.model.apply(
+            self.params,
+            input_ids=jnp.asarray(input_ids, jnp.int32),
+            position_ids=jnp.asarray(pos),
+            pixel_patches=jnp.asarray(enc["pixel_values_videos"]),
+            vision_layout=la,
+            compute_dtype=self.compute_dtype,
+            method=lambda m, **kw: m.qwen(**kw),
+        )
+        projected = self.model.apply(
+            self.params, qwen_out["hidden_states"],
+            method=lambda m, h_: m.text_hidden_fcs(h_),
+        )
+        from ..ops.seg_gather import gather_seg_embeddings
+
+        seg_emb, has_seg = gather_seg_embeddings(
+            projected, jnp.asarray(input_ids, jnp.int32),
+            self.model.cfg.seg.seg_token_id,
+        )
+        if not bool(np.asarray(has_seg)[0]):
+            return out_masks
+
+        chunk = self.sam_chunk
+        for start in range(0, t_all, chunk):
+            sub = frames[start : start + chunk]
+            sam_frames = np.stack(
+                [sam_preprocess_frame(f, sam_size) for f in sub]
+            )
+            pad = chunk - len(sub)
+            if pad:
+                sam_frames = np.pad(
+                    sam_frames, ((0, pad), (0, 0), (0, 0), (0, 0))
+                )
+            lang = jnp.broadcast_to(
+                jnp.asarray(seg_emb[0])[None, None, :],
+                (sam_frames.shape[0], 1, self.model.cfg.seg.out_dim),
+            )
+            sam_out = self.model.apply(
+                self.params,
+                jnp.asarray(sam_frames, self.compute_dtype), lang,
+                True, False,
+                method=lambda m, fr, le, mm, tr: (
+                    m.grounding_encoder.decode_frames_with_language(
+                        fr, le, multimask_output=mm, training=tr
+                    )
+                ),
+            )
+            masks = sam_out["high_res_masks"][:, 0]  # (chunk, S, S)
+            masks = resize_bilinear(masks, (h, w))
+            masks_np = np.asarray(jax.nn.sigmoid(masks) > 0.5)
+            out_masks[start : start + len(sub)] = masks_np[: len(sub)]
+        return out_masks
+
+
+class UniGRChat:
+    """Free-form QA (VideoInfer / VideoRefer / ViP-Bench paths)."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        processor: QwenVLProcessor,
+        max_new_tokens: int = 64,
+        compute_dtype=None,
+    ):
+        import jax.numpy as jnp
+
+        self.model = model
+        self.params = params
+        self.processor = processor
+        self.max_new_tokens = max_new_tokens
+        self.compute_dtype = compute_dtype or jnp.bfloat16
+
+    def answer(
+        self,
+        question: str,
+        video_frames: Optional[Sequence[np.ndarray]] = None,
+        images: Optional[Sequence[np.ndarray]] = None,
+        suppress_ids: Sequence[int] = (),
+    ) -> str:
+        import jax.numpy as jnp
+
+        from ..models.qwen25vl.generate import greedy_generate
+
+        content: List[Dict[str, Any]] = []
+        if video_frames is not None:
+            content.append({"type": "video"})
+        for _ in images or []:
+            content.append({"type": "image"})
+        content.append({"type": "text", "text": question})
+        msgs = [ChatMessage("user", [c for c in content])]
+        enc = self.processor(
+            msgs,
+            videos=[video_frames] if video_frames is not None else [],
+            images=[[im] for im in (images or [])],
+            add_generation_prompt=True,
+        )
+        grids_v = enc.get("video_grid_thw", [])
+        grids_i = enc.get("image_grid_thw", [])
+        pos, deltas = get_rope_index(
+            self.model.cfg if hasattr(self.model.cfg, "vision")
+            else self.model.cfg.qwen,
+            enc["input_ids"],
+            image_grid_thw=grids_i or None,
+            video_grid_thw=grids_v or None,
+            second_per_grid_ts=enc.get("second_per_grid_ts"),
+        )
+        qcfg = (
+            self.model.cfg if hasattr(self.model.cfg, "vision")
+            else self.model.cfg.qwen
+        )
+        layout = compute_vision_layout(
+            list(grids_i) + list(grids_v), qcfg.vision
+        )
+        la = layout_device_args(layout, qcfg.vision)
+        patches = []
+        if "pixel_values" in enc:
+            patches.append(enc["pixel_values"])
+        if "pixel_values_videos" in enc:
+            patches.append(enc["pixel_values_videos"])
+        pp = np.concatenate(patches, 0) if patches else None
+
+        qwen = (
+            self.model if hasattr(self.model.cfg, "vision")
+            else None
+        )
+        if qwen is None:
+            # UniGR: generate through the inner Qwen module
+            qwen_model = self.model.qwen if hasattr(self.model, "qwen") else None
+            raise NotImplementedError(
+                "pass the Qwen25VL module directly for chat"
+            )
+        toks = greedy_generate(
+            self.model, self.params,
+            jnp.asarray(enc["input_ids"], jnp.int32),
+            jnp.asarray(enc["attention_mask"]),
+            jnp.asarray(pos),
+            jnp.asarray(deltas),
+            max_new_tokens=self.max_new_tokens,
+            eos_token_id=151645,
+            pad_token_id=151643,
+            pixel_patches=None if pp is None else jnp.asarray(pp),
+            vision_layout=la if pp is not None else None,
+            suppress_ids=suppress_ids,
+            compute_dtype=self.compute_dtype,
+        )
+        ids = np.asarray(toks[0])
+        # strip pads/eos
+        keep = []
+        for t in ids:
+            if t in (151645, 151643):
+                break
+            keep.append(int(t))
+        return self.processor.tokenizer.decode(keep) if hasattr(
+            self.processor.tokenizer, "decode"
+        ) else " ".join(map(str, keep))

