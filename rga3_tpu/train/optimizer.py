@@ -51,27 +51,30 @@ def trainable_mask(
 
 
 def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """Linear warmup then cosine decay to a floor of min_lr_ratio * lr
+    (DeepSpeed WarmupCosineLR semantics: cos_min_ratio floors the cosine
+    phase only; warmup starts from 0)."""
     total = cfg.epochs * cfg.steps_per_epoch
     warmup = max(1, int(total * cfg.warmup_ratio))
-    floor = cfg.lr * cfg.min_lr_ratio
-
     warm = optax.linear_schedule(0.0, cfg.lr, warmup)
     cosine = optax.cosine_decay_schedule(
         cfg.lr, max(1, total - warmup), alpha=cfg.min_lr_ratio
     )
-    sched = optax.join_schedules([warm, cosine], [warmup])
-
-    def clipped(step):
-        import jax.numpy as jnp
-
-        return jnp.maximum(sched(step), floor)
-
-    return clipped
+    return optax.join_schedules([warm, cosine], [warmup])
 
 
 def build_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformation:
+    """AdamW over trainable leaves, zero updates elsewhere.
+
+    NOTE: optax.masked alone is wrong here — it passes the raw gradients
+    through for masked-out leaves, which would update frozen params.
+    multi_transform routes frozen leaves to set_to_zero (and only allocates
+    optimizer state for the trainable subtree)."""
     mask = trainable_mask(params)
-    tx = optax.chain(
+    labels = jax.tree.map(
+        lambda m: "train" if m else "freeze", mask
+    )
+    train_tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(
             learning_rate=lr_schedule(cfg),
@@ -80,4 +83,6 @@ def build_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformati
             weight_decay=cfg.weight_decay,
         ),
     )
-    return optax.masked(tx, mask)
+    return optax.multi_transform(
+        {"train": train_tx, "freeze": optax.set_to_zero()}, labels
+    )

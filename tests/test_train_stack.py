@@ -84,6 +84,8 @@ def test_frozen_params_do_not_change():
     step = build_train_step(loss_fn, tx, grad_accum_steps=1, donate=False)
     batch = {"x": jnp.ones((1, 2, 4))}
     new_state, aux = step(state, batch)
+    # step 0 has lr == 0 (warmup from zero); take a second step
+    new_state, aux = step(new_state, batch)
     np.testing.assert_allclose(
         np.asarray(new_state.params["params"]["frozen_dense"]["kernel"]),
         np.ones((4, 4)),
