@@ -56,13 +56,18 @@ def main():
         ),
         jax.random.PRNGKey(0),
     )
-    key = jax.random.PRNGKey(0)
-    params = jax.tree.map(
-        lambda s: (jax.random.normal(key, s.shape) * 0.02).astype(
-            jnp.bfloat16
-        ),
-        shapes,
-    )
+    # ONE jitted init graph — per-leaf jnp calls would trigger hundreds of
+    # separate (slow) remote compiles on this backend
+    @jax.jit
+    def make_params(k):
+        return jax.tree.map(
+            lambda s: (jax.random.normal(k, s.shape) * 0.02).astype(
+                jnp.bfloat16
+            ),
+            shapes,
+        )
+
+    params = make_params(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     @jax.jit

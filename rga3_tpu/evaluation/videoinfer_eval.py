@@ -1,0 +1,124 @@
+"""VideoInfer benchmark: region-level video QA with visual prompts.
+
+Rebuild of ref evaluation/videoinfer/{inference_videoinfer.py, merge.py,
+eval.py}: per-shard prediction JSONs (idempotent resume), merge, then
+BLEU-4/CIDEr/METEOR/ROUGE-L (+ optional sentence-similarity / GPT judge via
+pluggable callables). STOM propagation optional (--use_stom equivalent).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..data.templates import REFERRING_VQA_PROMPT
+from .caption_metrics import evaluate_captions
+
+
+def run_inference(
+    chat,  # UniGRChat-compatible: .answer(question, video_frames=...)
+    items: Sequence[Dict],  # [{"id", "video_dir"/"frames", "question",
+    # "vip_overlay" (RGBA np or None), "key_idx"}]
+    out_path: str,
+    use_stom: bool = True,
+    subset_idx: int = 0,
+    subset_num: int = 1,
+) -> int:
+    """Writes {"id", "pred"} JSON lines; resumes past existing ids."""
+    from PIL import Image
+
+    done_ids = set()
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            for line in f:
+                try:
+                    done_ids.add(json.loads(line)["id"])
+                except Exception:
+                    pass
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    n = 0
+    stom = None
+    if use_stom:
+        from ..models.stom import STOM
+
+        stom = STOM()
+    with open(out_path, "a") as out:
+        for i, item in enumerate(items):
+            if i % subset_num != subset_idx:
+                continue
+            if item["id"] in done_ids:
+                continue
+            frames = item["frames"]  # list of np RGB
+            overlay = item.get("vip_overlay")
+            if overlay is not None:
+                key = item.get("key_idx", 0)
+                if stom is not None:
+                    pil_frames = [Image.fromarray(f) for f in frames]
+                    vip = Image.fromarray(overlay, "RGBA")
+                    blended = stom.propagate_in_video(
+                        pil_frames, vip, key,
+                        shape=item.get("shape", "rectangle"),
+                    )
+                    frames = [np.asarray(f) for f in blended]
+                else:
+                    base = Image.fromarray(frames[key]).convert("RGBA")
+                    vip = Image.fromarray(overlay, "RGBA")
+                    frames = list(frames)
+                    frames[key] = np.asarray(
+                        Image.alpha_composite(base, vip).convert("RGB")
+                    )
+            question = REFERRING_VQA_PROMPT.format(text=item["question"])
+            pred = chat.answer(question, video_frames=frames)
+            out.write(json.dumps({"id": item["id"], "pred": pred}) + "\n")
+            out.flush()
+            n += 1
+    return n
+
+
+def merge_shards(shard_paths: Sequence[str], out_path: str) -> int:
+    """ref evaluation/videoinfer/merge.py."""
+    seen = {}
+    for p in shard_paths:
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            for line in f:
+                try:
+                    d = json.loads(line)
+                    seen[d["id"]] = d
+                except Exception:
+                    pass
+    with open(out_path, "w") as f:
+        for d in seen.values():
+            f.write(json.dumps(d) + "\n")
+    return len(seen)
+
+
+def run_eval(
+    pred_path: str,
+    answers: Dict[str, str],  # id -> ground-truth answer
+    sentence_similarity_fn: Optional[Callable] = None,
+    gpt_judge_fn: Optional[Callable] = None,
+) -> Dict[str, float]:
+    hyps, refs, items = [], [], []
+    with open(pred_path) as f:
+        for line in f:
+            d = json.loads(line)
+            if d["id"] not in answers:
+                continue
+            hyps.append(d["pred"])
+            refs.append([answers[d["id"]]])
+            items.append(d)
+    out = evaluate_captions(
+        hyps, refs, sentence_similarity_fn=sentence_similarity_fn
+    )
+    out["n"] = len(hyps)
+    if gpt_judge_fn is not None:
+        scores = [
+            gpt_judge_fn(h, r[0]) for h, r in zip(hyps, refs)
+        ]
+        out["GPT-acc"] = float(np.mean([s.get("acc", 0) for s in scores]))
+        out["GPT-score"] = float(np.mean([s.get("score", 0) for s in scores]))
+    return out

@@ -111,8 +111,8 @@ def _flash_kernel(
         k_pos = ki * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
-        q_seg = q_seg_ref[0].reshape(block_q, 1)
-        k_seg = kv_seg_ref[0].reshape(1, block_k)
+        q_seg = q_seg_ref[0, 0].reshape(block_q, 1)
+        k_seg = kv_seg_ref[0, 0].reshape(1, block_k)
         mask = q_seg == k_seg
         if causal:
             mask = mask & (q_pos >= k_pos)
@@ -174,8 +174,15 @@ def _flash_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda b_, h_, qi, ki: (b_, qi)),
-            pl.BlockSpec((1, block_k), lambda b_, h_, qi, ki: (b_, ki)),
+            # segment ids carried as (B, 1, L): Mosaic requires the last two
+            # block dims be (8k, 128k) or equal to the array dims — a middle
+            # singleton satisfies that for any batch size
+            pl.BlockSpec(
+                (1, 1, block_q), lambda b_, h_, qi, ki: (b_, 0, qi)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k), lambda b_, h_, qi, ki: (b_, 0, ki)
+            ),
             pl.BlockSpec(
                 (1, 1, block_q, d), lambda b_, h_, qi, ki: (b_, h_, qi, 0)
             ),
@@ -280,7 +287,7 @@ def flash_attention(
     )
 
     out = _flash_call(
-        qt, kt, vt, q_seg_p, kv_seg_p,
+        qt, kt, vt, q_seg_p[:, None, :], kv_seg_p[:, None, :],
         causal=causal, scale=scale,
         block_q=block_q, block_k=block_k, interpret=interpret,
         num_q_heads=h,
