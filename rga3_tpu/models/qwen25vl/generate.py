@@ -96,7 +96,8 @@ def greedy_generate(
 
     # decode positions: seq_len + rope_delta + step (all 3 streams equal)
     next_pos = (
-        jnp.sum(attention_mask, axis=1).astype(jnp.int64) + rope_deltas
+        jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+        + rope_deltas.astype(jnp.int32)
     )  # (B,)
 
     first_tok = _sample_token(

@@ -69,8 +69,22 @@ class UniGR(nn.Module):
         )
 
     def __call__(self, images, language_embd, input_ids):
-        """Init-coverage forward (see Sam2Model.__call__)."""
-        out = self.qwen(input_ids=input_ids)
+        """Init-coverage forward (see Sam2Model.__call__): touches the LM,
+        the vision tower (one 2x2 merged grid), the seg head, and SAM2."""
+        from ..qwen25vl.vision import (
+            compute_vision_layout, layout_device_args,
+        )
+
+        vcfg = self.cfg.qwen.vision
+        layout = compute_vision_layout([(1, 2, 2)], vcfg)
+        la = layout_device_args(layout, vcfg)
+        patches = jnp.zeros(
+            (4, 3 * vcfg.temporal_patch_size * vcfg.patch_size**2),
+            jnp.float32,
+        )
+        out = self.qwen(
+            input_ids=input_ids, pixel_patches=patches, vision_layout=la
+        )
         emb = self.text_hidden_fcs(out["hidden_states"])
         return self.grounding_encoder(images, language_embd)
 

@@ -1,0 +1,70 @@
+"""Tracing / profiling subsystem.
+
+The reference has none (SURVEY.md §5.1 — only coarse batch_time/data_time
+meters); here jax.profiler traces are first-class: wrap any region with
+`trace()` or run step-ranges with `profile_steps`.
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Iterator, Optional
+
+
+@contextlib.contextmanager
+def trace(profile_dir: Optional[str], name: str = "trace") -> Iterator[None]:
+    """Capture a jax.profiler trace into profile_dir (no-op when None)."""
+    if not profile_dir:
+        yield
+        return
+    import jax
+
+    os.makedirs(profile_dir, exist_ok=True)
+    jax.profiler.start_trace(profile_dir)
+    try:
+        with jax.profiler.TraceAnnotation(name):
+            yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def annotate(name: str) -> Iterator[None]:
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+class StepTimer:
+    """Rolling step timing (batch_time/data_time equivalent,
+    ref train_joint.py:474-509) with simple percentile summaries."""
+
+    def __init__(self, window: int = 100):
+        self.window = window
+        self.times = []
+        self._t0 = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self) -> float:
+        dt = time.perf_counter() - self._t0
+        self.times.append(dt)
+        if len(self.times) > self.window:
+            self.times.pop(0)
+        return dt
+
+    def summary(self) -> dict:
+        import numpy as np
+
+        if not self.times:
+            return {}
+        arr = np.asarray(self.times)
+        return {
+            "mean_s": float(arr.mean()),
+            "p50_s": float(np.percentile(arr, 50)),
+            "p95_s": float(np.percentile(arr, 95)),
+            "steps_per_sec": float(1.0 / max(arr.mean(), 1e-9)),
+        }

@@ -1,0 +1,90 @@
+"""Referring-VOS benchmark CLI (MeViS / ReVOS / ReasonVOS / Ref-DAVIS).
+
+Rebuild of the reference's per-benchmark shell drivers
+(ref: evaluation/mevis_val_u/run_inference_mevis.sh + run_eval_mevis.sh):
+`--subset_idx/--subset_num` shard the expression list; `--stage eval`
+computes J&F from the written PNG masks.
+
+  python scripts/eval_vos.py --stage infer --model_dir ... \
+      --sam_pretrained ... --data_root .../mevis --split valid_u \
+      --out_dir results/mevis --subset_idx 0 --subset_num 8
+  python scripts/eval_vos.py --stage eval --data_root .../mevis \
+      --split valid_u --out_dir results/mevis
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_segmentor(args):
+    import jax.numpy as jnp
+
+    from rga3_tpu.config import SegHeadConfig
+    from rga3_tpu.data.processor import QwenVLProcessor
+    from rga3_tpu.evaluation.segmentor import UniGRSegmentor
+    from rga3_tpu.models.qwen25vl import QWEN25_VL_3B, QWEN25_VL_7B
+    from rga3_tpu.models.qwen25vl.loader import load_unigr_params
+    from rga3_tpu.models.sam2 import SAM2_HIERA_L
+    from rga3_tpu.models.sam2.loader import load_sam2_params
+    from rga3_tpu.models.unigr import UniGR, UniGRConfig
+
+    processor = QwenVLProcessor.from_pretrained(args.model_dir)
+    qcfg = QWEN25_VL_7B if args.model_size == "7b" else QWEN25_VL_3B
+    cfg = UniGRConfig(
+        qwen=qcfg, sam2=SAM2_HIERA_L,
+        seg=SegHeadConfig(seg_token_id=processor.seg_token_id),
+    )
+    model = UniGR(cfg)
+    params = load_unigr_params(args.model_dir)
+    if args.sam_pretrained and "grounding_encoder" not in params["params"]:
+        params["params"]["grounding_encoder"] = load_sam2_params(
+            args.sam_pretrained
+        )["params"]
+    return UniGRSegmentor(
+        model, params, processor,
+        num_frames_mllm=args.num_frames_mllm,
+        compute_dtype=jnp.bfloat16,
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", choices=["infer", "eval"], required=True)
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--split", default="valid_u")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--model_dir")
+    p.add_argument("--sam_pretrained")
+    p.add_argument("--model_size", choices=["3b", "7b"], default="7b")
+    p.add_argument("--num_frames_mllm", type=int, default=8)
+    p.add_argument("--subset_idx", type=int, default=0)
+    p.add_argument("--subset_num", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=8)
+    args = p.parse_args()
+
+    from rga3_tpu.evaluation.video_seg_eval import run_eval, run_inference
+
+    if args.stage == "infer":
+        seg = build_segmentor(args)
+        n = run_inference(
+            seg, args.data_root, args.split, args.out_dir,
+            subset_idx=args.subset_idx, subset_num=args.subset_num,
+        )
+        print(f"inferred {n} expressions", flush=True)
+    else:
+        scores = run_eval(
+            args.data_root, args.split, args.out_dir,
+            num_workers=args.num_workers,
+        )
+        print(json.dumps(scores, indent=2))
+        with open(os.path.join(args.out_dir, "jf_scores.json"), "w") as f:
+            json.dump(scores, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

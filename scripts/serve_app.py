@@ -1,0 +1,52 @@
+"""Launch the UniGR demo server (ref app.py equivalent).
+
+  python scripts/serve_app.py --model_dir ... --sam_pretrained ... \
+      --port 7860
+Without --model_dir the server runs with stub responses (UI smoke test).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_dir", default=None)
+    p.add_argument("--sam_pretrained", default=None)
+    p.add_argument("--model_size", choices=["3b", "7b"], default="7b")
+    p.add_argument("--port", type=int, default=7860)
+    args = p.parse_args()
+
+    from rga3_tpu.serve.app import UniGRService, serve
+
+    chat = segmentor = None
+    if args.model_dir:
+        from scripts.eval_vos import build_segmentor
+
+        class A:
+            pass
+
+        a = A()
+        a.model_dir = args.model_dir
+        a.sam_pretrained = args.sam_pretrained
+        a.model_size = args.model_size
+        a.num_frames_mllm = 8
+        segmentor = build_segmentor(a)
+
+        from rga3_tpu.evaluation.segmentor import UniGRChat
+
+        chat = UniGRChat(
+            segmentor.model.qwen if hasattr(segmentor.model, "qwen")
+            else segmentor.model,
+            segmentor.params, segmentor.processor,
+        )
+    print(f"serving on :{args.port}", flush=True)
+    serve(UniGRService(chat=chat, segmentor=segmentor), port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""UniGRChat end-to-end: processor -> vision layout -> generate -> decode."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rga3_tpu.data.processor import QwenVLProcessor
+from rga3_tpu.evaluation.segmentor import UniGRChat
+from rga3_tpu.models.qwen25vl import tiny_config
+from rga3_tpu.models.qwen25vl.model import Qwen25VL
+
+from tests.test_data_pipeline import DummyTokenizer
+
+
+class DecodingTokenizer(DummyTokenizer):
+    def decode(self, ids):
+        return " ".join(f"tok{i}" for i in ids)
+
+
+@pytest.fixture(scope="module")
+def chat():
+    cfg = tiny_config(vocab_size=152_000)
+    model = Qwen25VL(cfg)
+    proc = QwenVLProcessor(
+        DecodingTokenizer(), min_pixels=4 * 28 * 28,
+        max_pixels=16 * 28 * 28, video_max_pixels=16 * 28 * 28,
+    )
+    rng = np.random.default_rng(0)
+    frames = [
+        rng.integers(0, 255, (56, 56, 3), dtype=np.uint8) for _ in range(2)
+    ]
+    enc = proc(
+        [
+            __import__("rga3_tpu.data.processor", fromlist=["ChatMessage"])
+            .ChatMessage("user", [{"type": "video"},
+                                  {"type": "text", "text": "hi"}])
+        ],
+        videos=[frames],
+    )
+    from rga3_tpu.models.qwen25vl.vision import (
+        compute_vision_layout, layout_device_args,
+    )
+
+    layout = compute_vision_layout(enc["video_grid_thw"], cfg.vision)
+    la = layout_device_args(layout, cfg.vision)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        input_ids=jnp.asarray(enc["input_ids"], jnp.int32),
+        pixel_patches=jnp.asarray(enc["pixel_values_videos"]),
+        vision_layout=la,
+    )
+    c = UniGRChat(model, params, proc, max_new_tokens=4,
+                  compute_dtype=jnp.float32)
+    return c, frames
+
+
+def test_chat_answer_returns_text(chat):
+    c, frames = chat
+    out = c.answer("What is shown?", video_frames=frames)
+    assert isinstance(out, str)
+    assert len(out) > 0
+
+
+def test_chat_suppress_ids_respected(chat):
+    c, frames = chat
+    base = c.answer("What is shown?", video_frames=frames)
+    first_tok = int(base.split()[0].replace("tok", ""))
+    out = c.answer(
+        "What is shown?", video_frames=frames, suppress_ids=[first_tok]
+    )
+    toks = [int(t.replace("tok", "")) for t in out.split()]
+    assert first_tok not in toks

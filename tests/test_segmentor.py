@@ -1,0 +1,58 @@
+"""UniGRSegmentor end-to-end on the tiny composite model."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rga3_tpu.config import SegHeadConfig
+from rga3_tpu.data.processor import QwenVLProcessor
+from rga3_tpu.evaluation.segmentor import UniGRSegmentor, build_seg_messages
+from rga3_tpu.models.qwen25vl import tiny_config
+from rga3_tpu.models.sam2 import tiny_sam2_config
+from rga3_tpu.models.unigr import UniGR, UniGRConfig
+
+from tests.test_data_pipeline import SEG_ID, DummyTokenizer
+
+
+@pytest.fixture(scope="module")
+def segmentor():
+    qcfg = tiny_config(vocab_size=152_000)
+    cfg = UniGRConfig(
+        qwen=qcfg,
+        sam2=tiny_sam2_config(image_size=64).replace(d_model=32),
+        seg=SegHeadConfig(out_dim=32, seg_token_id=SEG_ID),
+    )
+    model = UniGR(cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 1000, (1, 8)).astype(np.int32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32)),
+        jnp.zeros((2, 1, 32), jnp.float32),
+        jnp.asarray(ids),
+    )
+    proc = QwenVLProcessor(
+        DummyTokenizer(), min_pixels=4 * 28 * 28, max_pixels=16 * 28 * 28,
+        video_max_pixels=16 * 28 * 28,
+    )
+    return UniGRSegmentor(
+        model, params, proc, num_frames_mllm=2, sam_chunk=2,
+        compute_dtype=jnp.float32,
+    )
+
+
+def test_seg_messages_contain_teacher_forced_seg():
+    msgs = build_seg_messages("the red car")
+    assert msgs[1].role == "assistant"
+    assert "[SEG]" in msgs[1].content[0]["text"]
+    assert "the red car" in msgs[0].content[1]["text"]
+
+
+def test_segment_video_shapes_and_chunking(segmentor):
+    rng = np.random.default_rng(1)
+    frames = [
+        rng.integers(0, 255, (50, 70, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    masks = segmentor.segment_video(frames, "the moving thing")
+    assert masks.shape == (3, 50, 70)
+    assert masks.dtype == bool
