@@ -233,11 +233,16 @@ def flash_attention(
     segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention, (B, L, H, D) layout, GQA-aware.
+
+    Default 1024-blocks: on v5e the kernel at 1024x1024 blocks measures
+    ~2.5-3ms for a 4096-token 8-head full attention (beats both the
+    bundled pallas ops kernel and XLA); 256-blocks are pathologically slow
+    on this backend.
 
     On non-TPU backends falls back to `mha_reference` (the Pallas TPU
     lowering is Mosaic-only; interpret=True is available for debugging).
