@@ -173,6 +173,51 @@ def expand_vision_tokens(
     )
 
 
+class WordTokenizer:
+    """Minimal word-level tokenizer with the real Qwen special-token ids —
+    for smoke runs and tests without HF tokenizer files on disk."""
+
+    SPECIALS = {
+        "<|im_start|>": 151644,
+        "<|im_end|>": 151645,
+        "<|endoftext|>": 151643,
+        "<|vision_start|>": 151652,
+        "<|vision_end|>": 151653,
+        "<|image_pad|>": 151655,
+        "<|video_pad|>": 151656,
+        SEG_TOKEN: 151999,
+        "user": 872,
+        "assistant": 77091,
+    }
+    pad_token_id = 151643
+
+    def convert_tokens_to_ids(self, tok: str) -> int:
+        return self.SPECIALS.get(tok, abs(hash(tok)) % 50000 + 1000)
+
+    def __call__(self, text: str, add_special_tokens: bool = False):
+        import re as _re
+
+        pattern = "|".join(
+            _re.escape(s) for s in self.SPECIALS if s.startswith("<")
+            or s == SEG_TOKEN
+        )
+        ids = []
+        for part in _re.split(f"({pattern})", text):
+            if not part:
+                continue
+            if part in self.SPECIALS:
+                ids.append(self.SPECIALS[part])
+            else:
+                for w in part.replace("\n", " \n ").split(" "):
+                    if w:
+                        ids.append(self.convert_tokens_to_ids(w))
+        return {"input_ids": ids}
+
+    def decode(self, ids) -> str:
+        inv = {v: k for k, v in self.SPECIALS.items()}
+        return " ".join(inv.get(int(i), f"tok{int(i)}") for i in ids)
+
+
 class QwenVLProcessor:
     """Tokenizer + vision preprocessing. Needs an HF tokenizer dir for real
     text; tests can use `DummyTokenizer`."""
@@ -193,6 +238,8 @@ class QwenVLProcessor:
 
     @classmethod
     def from_pretrained(cls, model_dir: str, **kw):
+        if model_dir == "dummy":
+            return cls(WordTokenizer(), **kw)
         from transformers import AutoTokenizer
 
         tok = AutoTokenizer.from_pretrained(model_dir)

@@ -58,7 +58,21 @@ def parse_args():
     p.add_argument("--precision", default="bfloat16")
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--profile_dir", default=None)
-    return p.parse_args()
+    p.add_argument("--no_eval", action="store_true",
+                   help="skip the per-epoch ReasonSeg-val gIoU/cIoU loop")
+    p.add_argument("--val_samples", type=int, default=200)
+    p.add_argument("--config", default=None,
+                   help="JSON config file; CLI flags override")
+    args = p.parse_args()
+    if args.config:
+        with open(args.config) as f:
+            overrides = json.load(f)
+        for k, v in overrides.items():
+            if k.startswith("_"):
+                continue
+            if hasattr(args, k) and f"--{k}" not in sys.argv:
+                setattr(args, k, v)
+    return args
 
 
 def main():
@@ -108,6 +122,7 @@ def main():
         qwen=qcfg,
         sam2=scfg,
         seg=SegHeadConfig(
+            out_dim=scfg.d_model,  # [SEG] projection targets SAM prompt dim
             seg_token_id=seg_token_id,
             ce_loss_weight=args.ce_loss_weight,
             dice_loss_weight=args.dice_loss_weight,
@@ -117,9 +132,14 @@ def main():
     model = UniGR(cfg, remat=True)
 
     # ---- params: load pretrained, init the rest ----
-    print("loading pretrained weights...", flush=True)
-    qwen_params = load_qwen25vl_params(args.model_dir)["params"]
-    tree = {"qwen": qwen_params}
+    tree = {}
+    if args.model_dir != "dummy":
+        print("loading pretrained weights...", flush=True)
+        try:
+            tree["qwen"] = load_qwen25vl_params(args.model_dir)["params"]
+        except FileNotFoundError:
+            print("no safetensors found — random-initializing the LLM",
+                  flush=True)
     if args.sam_pretrained:
         tree["grounding_encoder"] = load_sam2_params(
             args.sam_pretrained
@@ -214,14 +234,23 @@ def main():
         except Exception:
             pass
 
-        bspec = shard_batch_spec(mesh)
+        def batch_axis_spec(size):
+            """Largest mesh-axis combo that divides the batch size."""
+            d, fs = mesh.shape.get("data", 1), mesh.shape.get("fsdp", 1)
+            if d * fs > 1 and size % (d * fs) == 0:
+                return ("data", "fsdp")
+            if d > 1 and size % d == 0:
+                return "data"
+            if fs > 1 and size % fs == 0:
+                return "fsdp"
+            return None
 
         def stage(batch_np):
             out = {}
             for k, v in batch_np.items():
                 axis = 2 if k == "position_ids" else 1
                 spec = [None] * (v.ndim)
-                spec[axis] = bspec[0]
+                spec[axis] = batch_axis_spec(v.shape[axis])
                 out[k] = jax.device_put(
                     jnp.asarray(v), NamedSharding(mesh, P(*spec))
                 )
@@ -274,7 +303,42 @@ def main():
                 f"epoch {epoch} done in {time.time()-t_epoch:.0f}s",
                 flush=True,
             )
-            ckpt.save_epoch(jax.device_get(state), epoch)
+
+            # per-epoch ReasonSeg-val gIoU/cIoU (ref train_joint.py:586-648)
+            metric = None
+            if not args.no_eval:
+                try:
+                    from rga3_tpu.evaluation.image_seg_eval import (
+                        run_reason_seg_val,
+                    )
+                    from rga3_tpu.evaluation.segmentor import UniGRSegmentor
+
+                    seg = UniGRSegmentor(
+                        model, {"params": state.params["params"]},
+                        processor,
+                        num_frames_mllm=args.num_frames_mllm,
+                        compute_dtype=jnp.bfloat16,
+                    )
+                    scores = run_reason_seg_val(
+                        seg, args.dataset_dir,
+                        max_samples=args.val_samples,
+                    )
+                    metric = scores["gIoU"]
+                    print(f"val epoch {epoch}: {scores}", flush=True)
+                    if writer:
+                        writer.add_scalar("val/gIoU", scores["gIoU"],
+                                          epoch)
+                        writer.add_scalar("val/cIoU", scores["cIoU"],
+                                          epoch)
+                except FileNotFoundError:
+                    pass
+                except Exception as e:
+                    print(f"val skipped: {e}", flush=True)
+            is_best = ckpt.save_epoch(
+                jax.device_get(state), epoch, metric=metric
+            )
+            if is_best:
+                print(f"epoch {epoch}: new best", flush=True)
 
     print("training complete", flush=True)
 
