@@ -39,6 +39,76 @@ def evaluate_image_masks(
     }
 
 
+def run_refer_seg_val(
+    segmentor,
+    base_dir: str,
+    dataset: str = "refcoco",
+    split: str = "val",
+    max_samples: Optional[int] = None,
+) -> Dict[str, float]:
+    """RefCOCO-family validation splits (val/testA/testB, refcocog umd
+    val/test) through the segmentor — the eval_img driver's other 9 splits
+    (ref: evaluation/eval_img/run_val.sh:6-19)."""
+    import os as _os
+
+    from PIL import Image
+
+    from ..data.refer import REFER
+
+    split_by = "umd" if dataset == "refcocog" else "unc"
+    api = REFER(_os.path.join(base_dir, "refer_seg"), dataset, split_by)
+    ref_ids = api.getRefIds(split=split)
+    if max_samples:
+        ref_ids = ref_ids[:max_samples]
+    preds, gts = [], []
+    for rid in ref_ids:
+        ref = api.loadRefs(rid)[0]
+        img_info = api.Imgs[ref["image_id"]]
+        img_dir = (
+            "images/saiapr_tc-12" if dataset == "refclef"
+            else "images/mscoco/images/train2014"
+        )
+        path = _os.path.join(api.data_root, img_dir, img_info["file_name"])
+        img = np.asarray(Image.open(path).convert("RGB"))
+        sent = ref["sentences"][0]["sent"]
+        masks = segmentor.segment_video([img], sent)
+        preds.append(masks[0])
+        gts.append(api.get_mask(ref))
+    return evaluate_image_masks(preds, gts)
+
+
+VAL_SPLITS = [
+    ("refcoco", "val"), ("refcoco", "testA"), ("refcoco", "testB"),
+    ("refcoco+", "val"), ("refcoco+", "testA"), ("refcoco+", "testB"),
+    ("refcocog", "val"), ("refcocog", "test"),
+]
+
+
+def run_all_image_seg_vals(
+    segmentor, base_dir: str, max_samples: Optional[int] = None
+) -> Dict[str, Dict[str, float]]:
+    """All 12 reference validation splits (ReasonSeg val/test + the
+    RefCOCO family), skipping datasets not on disk."""
+    out: Dict[str, Dict[str, float]] = {}
+    for split in ["val", "test"]:
+        try:
+            out[f"ReasonSeg|{split}"] = run_reason_seg_val(
+                segmentor, base_dir, split, max_samples
+            )
+        except Exception as e:
+            out[f"ReasonSeg|{split}"] = {"error": str(e)}
+    for ds, split in VAL_SPLITS:
+        try:
+            out[f"{ds}|{split}"] = run_refer_seg_val(
+                segmentor, base_dir, ds, split, max_samples
+            )
+        except FileNotFoundError:
+            continue
+        except Exception as e:
+            out[f"{ds}|{split}"] = {"error": str(e)}
+    return out
+
+
 def run_reason_seg_val(
     segmentor,
     base_dir: str,
@@ -56,6 +126,10 @@ def run_reason_seg_val(
             os.path.join(base_dir, "reason_seg", "ReasonSeg", split, "*.jpg")
         )
     )
+    if not images:
+        raise FileNotFoundError(
+            f"no ReasonSeg {split} images under {base_dir}"
+        )
     if max_samples:
         images = images[:max_samples]
     preds, gts = [], []

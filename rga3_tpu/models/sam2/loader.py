@@ -44,8 +44,13 @@ def _conv(w):  # OIHW -> HWIO
     return np.transpose(w, (2, 3, 1, 0))
 
 
-def _convT(w):  # torch ConvTranspose2d (I, O, H, W) -> HWIO
-    return np.transpose(w, (2, 3, 0, 1))
+def _convT(w):
+    """torch ConvTranspose2d (I, O, kH, kW) -> flax HWIO with spatial flip
+    (torch's transposed conv correlates with the flipped kernel relative to
+    flax.linen.ConvTranspose; verified numerically)."""
+    return np.ascontiguousarray(
+        np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+    )
 
 
 def _lin(w):  # (out, in) -> (in, out)
