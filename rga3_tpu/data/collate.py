@@ -69,6 +69,7 @@ def collate(
     processor: QwenVLProcessor,
     cfg: Qwen25VLConfig,
     pad_to_multiple: int = 64,
+    vision_budget_tokens: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Collate a list of TrainSamples into model_forward inputs.
 
@@ -79,6 +80,9 @@ def collate(
     per_sample = []
     all_video_patches, video_grids, spg = [], [], []
     all_image_patches, image_grids = [], []
+    # sample-major combined order (must match vision-pad token order over
+    # the flattened batch, which drives scatter_vision_tokens)
+    combined_patches, combined_grids = [], []
     for s in batch:
         videos = [s.video_frames] if s.video_frames is not None else []
         out = processor(
@@ -89,13 +93,17 @@ def collate(
             add_generation_prompt=False,
         )
         per_sample.append(out)
+        if "pixel_values" in out:
+            all_image_patches.append(out["pixel_values"])
+            image_grids.extend(out["image_grid_thw"])
+            combined_patches.append(out["pixel_values"])
+            combined_grids.extend(out["image_grid_thw"])
         if "pixel_values_videos" in out:
             all_video_patches.append(out["pixel_values_videos"])
             video_grids.extend(out["video_grid_thw"])
             spg.extend(out["second_per_grid_ts"])
-        if "pixel_values" in out:
-            all_image_patches.append(out["pixel_values"])
-            image_grids.extend(out["image_grid_thw"])
+            combined_patches.append(out["pixel_values_videos"])
+            combined_grids.extend(out["video_grid_thw"])
 
     pad_id = processor.tokenizer.pad_token_id or 151643
     max_len = max(o["input_ids"].shape[1] for o in per_sample)
@@ -132,6 +140,19 @@ def collate(
     if all_image_patches:
         out["pixel_values"] = np.concatenate(all_image_patches, 0)
         out["image_grid_thw"] = image_grids
+
+    if vision_budget_tokens is not None and combined_patches:
+        from ..models.qwen25vl.vision import (
+            compute_vision_layout, pad_vision_inputs,
+        )
+
+        layout = compute_vision_layout(combined_grids, cfg.vision)
+        patches = np.concatenate(combined_patches, 0)
+        padded, layout_args = pad_vision_inputs(
+            patches, layout, cfg.vision, vision_budget_tokens
+        )
+        out["pixel_patches"] = padded
+        out["vision_layout"] = layout_args
 
     if batch[0].sam_frames is not None:
         out["images_sam"] = np.stack([s.sam_frames for s in batch])

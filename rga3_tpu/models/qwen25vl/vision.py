@@ -257,3 +257,70 @@ def layout_device_args(layout: VisionLayout, cfg: QwenVisionConfig):
         token_perm=jnp.asarray(token_perm),
         merged_reverse=jnp.asarray(layout.reverse_index),
     )
+
+
+def pad_vision_inputs(
+    pixel_patches: np.ndarray,
+    layout: VisionLayout,
+    cfg: QwenVisionConfig,
+    budget_tokens: int,
+):
+    """Pad ragged vision inputs to a fixed token budget for jitted steps.
+
+    `budget_tokens` is the padded PATCH count (multiple of merge_unit).
+    Padded patches form their own windows/grids via sentinel segment ids
+    (-3/-4), so they never attend to real tokens; the merged-reverse
+    permutation maps padded merge units onto the padded tail, which the
+    scatter in model.py never gathers (input sequences contain only the
+    real vision-pad tokens).
+
+    Returns (patches (budget, F) np.float32, layout_args dict of np arrays).
+    """
+    assert budget_tokens % cfg.merge_unit == 0
+    l = layout.total_tokens
+    assert l <= budget_tokens, (l, budget_tokens)
+    pad = budget_tokens - l
+    unit = cfg.merge_unit
+    token_perm = (
+        layout.window_index[:, None] * unit + np.arange(unit)[None, :]
+    ).reshape(-1)
+
+    patches = np.zeros(
+        (budget_tokens, pixel_patches.shape[1]), pixel_patches.dtype
+    )
+    patches[:l] = pixel_patches
+
+    def pad1(x, fill):
+        return np.concatenate(
+            [x, np.full((pad,), fill, x.dtype)]
+        ) if pad else x
+
+    merged_l = l // unit
+    merged_pad = pad // unit
+    layout_args = dict(
+        hpos=pad1(layout.hpos, 0),
+        wpos=pad1(layout.wpos, 0),
+        window_seg=pad1(layout.window_seg, -3),
+        grid_seg=pad1(layout.grid_seg, -4),
+        token_perm=pad1(token_perm.astype(np.int32), 0),
+        merged_reverse=np.concatenate([
+            layout.reverse_index.astype(np.int32),
+            np.arange(merged_l, merged_l + merged_pad, dtype=np.int32),
+        ]),
+    )
+    return patches, layout_args
+
+
+def layout_device_args_np(layout: VisionLayout, cfg: QwenVisionConfig):
+    unit = cfg.merge_unit
+    token_perm = (
+        layout.window_index[:, None] * unit + np.arange(unit)[None, :]
+    ).reshape(-1).astype(np.int32)
+    return dict(
+        hpos=layout.hpos,
+        wpos=layout.wpos,
+        window_seg=layout.window_seg,
+        grid_seg=layout.grid_seg,
+        token_perm=token_perm,
+        merged_reverse=layout.reverse_index.astype(np.int32),
+    )

@@ -205,13 +205,22 @@ def main():
     with mesh:
         state, tx = make_train_state(tcfg, params, mesh)
 
+        vl_keys = ["hpos", "wpos", "window_seg", "grid_seg",
+                   "token_perm", "merged_reverse"]
+
         def loss_fn(p, batch):
+            vision_layout = None
+            pixel_patches = batch.get("pixel_patches")
+            if pixel_patches is not None:
+                vision_layout = {k: batch[f"vl_{k}"] for k in vl_keys}
             return model.apply(
                 p,
                 batch["input_ids"], batch["labels"],
                 batch["position_ids"], batch["segment_ids"],
                 batch["images_sam"], batch["gt_masks"],
                 batch["masks_valid"],
+                pixel_patches=pixel_patches,
+                vision_layout=vision_layout,
                 compute_dtype=jnp.bfloat16,
                 method=UniGR.train_forward,
             )
@@ -248,15 +257,26 @@ def main():
         def stage(batch_np):
             out = {}
             for k, v in batch_np.items():
-                axis = 2 if k == "position_ids" else 1
                 spec = [None] * (v.ndim)
-                spec[axis] = batch_axis_spec(v.shape[axis])
+                if k == "position_ids":
+                    spec[2] = batch_axis_spec(v.shape[2])
+                elif not (k == "pixel_patches" or k.startswith("vl_")):
+                    spec[1] = batch_axis_spec(v.shape[1])
+                # vision arrays stay replicated (token order is global
+                # across the batch, not per-shard)
                 out[k] = jax.device_put(
                     jnp.asarray(v), NamedSharding(mesh, P(*spec))
                 )
             return out
 
         micro = args.micro_batch_size * max(mesh.shape.get("data", 1), 1)
+        # static vision-token budget: per-frame patch cap (video pixel
+        # budget / 14^2) x temporal groups x micro batch, in merge units
+        per_frame_patches = (320 * 28 * 28) // (14 * 14)  # 1280
+        vision_budget = (
+            micro * max(args.num_frames_mllm // 2, 1) * per_frame_patches
+        )
+        vision_budget = -(-vision_budget // 4) * 4
         global_step = start_epoch * args.steps_per_epoch
         for epoch in range(start_epoch, args.epochs):
             meters = {
@@ -271,8 +291,11 @@ def main():
                     samples = [
                         train_ds[0] for _ in range(micro)
                     ]
-                    c = collate(samples, processor, cfg.qwen)
-                    micro_batches.append({
+                    c = collate(
+                        samples, processor, cfg.qwen,
+                        vision_budget_tokens=vision_budget,
+                    )
+                    mb = {
                         "input_ids": c["input_ids"],
                         "labels": c["labels"],
                         "position_ids": c["position_ids"],
@@ -280,7 +303,43 @@ def main():
                         "images_sam": c["images_sam"].astype(np.float32),
                         "gt_masks": c["gt_masks"],
                         "masks_valid": c["masks_valid"],
-                    })
+                    }
+                    if "pixel_patches" in c:
+                        mb["pixel_patches"] = c["pixel_patches"]
+                        for k, v in c["vision_layout"].items():
+                            mb[f"vl_{k}"] = v
+                    micro_batches.append(mb)
+                # pad text-length variation across micro-batches before
+                # stacking on the accumulation axis
+                max_l = max(m["input_ids"].shape[1] for m in micro_batches)
+                max_gh = max(m["gt_masks"].shape[2] for m in micro_batches)
+                max_gw = max(m["gt_masks"].shape[3] for m in micro_batches)
+                for m in micro_batches:
+                    l = m["input_ids"].shape[1]
+                    if l < max_l:
+                        pad = max_l - l
+                        m["input_ids"] = np.pad(
+                            m["input_ids"], ((0, 0), (0, pad)),
+                            constant_values=151643,
+                        )
+                        m["labels"] = np.pad(
+                            m["labels"], ((0, 0), (0, pad)),
+                            constant_values=-100,
+                        )
+                        m["segment_ids"] = np.pad(
+                            m["segment_ids"], ((0, 0), (0, pad))
+                        )
+                        m["position_ids"] = np.pad(
+                            m["position_ids"],
+                            ((0, 0), (0, 0), (0, pad)),
+                        )
+                    gh, gw = m["gt_masks"].shape[2:]
+                    if gh < max_gh or gw < max_gw:
+                        m["gt_masks"] = np.pad(
+                            m["gt_masks"],
+                            ((0, 0), (0, 0), (0, max_gh - gh),
+                             (0, max_gw - gw)),
+                        )
                 batch = {
                     k: np.stack([m[k] for m in micro_batches])
                     for k in micro_batches[0]

@@ -1,0 +1,85 @@
+"""Static-budget vision padding: padded forward == unpadded forward."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rga3_tpu.models.qwen25vl import tiny_config
+from rga3_tpu.models.qwen25vl.model import Qwen25VL
+from rga3_tpu.models.qwen25vl.positions import get_rope_index
+from rga3_tpu.models.qwen25vl.vision import (
+    compute_vision_layout, layout_device_args, pad_vision_inputs,
+)
+
+
+def test_padded_vision_matches_unpadded():
+    cfg = tiny_config(vocab_size=160_000)
+    model = Qwen25VL(cfg)
+    rng = np.random.default_rng(0)
+    grid = (1, 4, 4)  # 16 patches -> 4 merged tokens
+    n_vis = 4
+    patches = rng.normal(size=(16, 3 * 2 * 14 * 14)).astype(np.float32)
+    layout = compute_vision_layout([grid], cfg.vision)
+
+    ids = rng.integers(0, 1000, size=(1, 8 + n_vis)).astype(np.int32)
+    ids[0, 2] = cfg.vision_start_token_id
+    ids[0, 3 : 3 + n_vis] = cfg.image_token_id
+    pos, _ = get_rope_index(cfg, ids, image_grid_thw=[grid])
+
+    la = layout_device_args(layout, cfg.vision)
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids=jnp.asarray(ids),
+        pixel_patches=jnp.asarray(patches), vision_layout=la,
+    )
+    base = model.apply(
+        params, input_ids=jnp.asarray(ids),
+        position_ids=jnp.asarray(pos),
+        pixel_patches=jnp.asarray(patches), vision_layout=la,
+    )["logits"]
+
+    for budget in (16, 32, 64):
+        padded, la_p = pad_vision_inputs(
+            patches, layout, cfg.vision, budget
+        )
+        assert padded.shape[0] == budget
+        out = model.apply(
+            params, input_ids=jnp.asarray(ids),
+            position_ids=jnp.asarray(pos),
+            pixel_patches=jnp.asarray(padded),
+            vision_layout={k: jnp.asarray(v) for k, v in la_p.items()},
+        )["logits"]
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(base), rtol=2e-4, atol=2e-4,
+            err_msg=f"budget={budget}",
+        )
+
+
+def test_padding_multiple_grids():
+    cfg = tiny_config(vocab_size=160_000)
+    model = Qwen25VL(cfg)
+    rng = np.random.default_rng(1)
+    grids = [(1, 2, 4), (1, 4, 2)]  # 8 + 8 patches
+    patches = rng.normal(size=(16, 3 * 2 * 14 * 14)).astype(np.float32)
+    layout = compute_vision_layout(grids, cfg.vision)
+    n_vis = 4
+    ids = rng.integers(0, 1000, size=(1, 10 + n_vis)).astype(np.int32)
+    ids[0, 1 : 1 + 2] = cfg.image_token_id
+    ids[0, 6 : 6 + 2] = cfg.image_token_id
+    pos, _ = get_rope_index(cfg, ids, image_grid_thw=grids)
+    la = layout_device_args(layout, cfg.vision)
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids=jnp.asarray(ids),
+        pixel_patches=jnp.asarray(patches), vision_layout=la,
+    )
+    base = model.apply(
+        params, input_ids=jnp.asarray(ids), position_ids=jnp.asarray(pos),
+        pixel_patches=jnp.asarray(patches), vision_layout=la,
+    )["logits"]
+    padded, la_p = pad_vision_inputs(patches, layout, cfg.vision, 48)
+    out = model.apply(
+        params, input_ids=jnp.asarray(ids), position_ids=jnp.asarray(pos),
+        pixel_patches=jnp.asarray(padded),
+        vision_layout={k: jnp.asarray(v) for k, v in la_p.items()},
+    )["logits"]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(base), rtol=2e-4, atol=2e-4
+    )
