@@ -64,6 +64,11 @@ class QwenTextConfig(ConfigBase):
     # the release run — run_torchrun.sh:30-31). 0 disables.
     lora_rank: int = 0
     lora_alpha: float = 0.0
+    # compile the decoder as nn.scan over one stacked layer (28x smaller
+    # XLA graph for 7B — critical on slow-compile backends); params live
+    # under "layers_scan" with a leading layer axis (see
+    # loader.stack_qwen_layers)
+    scan_layers: bool = False
 
 
 @dataclass(frozen=True)

@@ -217,32 +217,81 @@ class QwenLM(nn.Module):
         x = inputs_embeds
         cache_idx = None if cache is None else cache["idx"]
 
-        new_k, new_v = [], []
-        layer_cls = DecoderLayer
-        if self.remat and cache is None:
-            layer_cls = nn.remat(
-                DecoderLayer, static_argnums=(), prevent_cse=False
+        if cfg.scan_layers:
+            x, new_cache = self._scan_layers(
+                x, cos, sin, segment_ids, cache, cache_idx
             )
-        for i in range(cfg.num_hidden_layers):
-            layer_cache = None
+        else:
+            new_k, new_v = [], []
+            layer_cls = DecoderLayer
+            if self.remat and cache is None:
+                layer_cls = nn.remat(
+                    DecoderLayer, static_argnums=(), prevent_cse=False
+                )
+            for i in range(cfg.num_hidden_layers):
+                layer_cache = None
+                if cache is not None:
+                    layer_cache = {"k": cache["k"][i], "v": cache["v"][i]}
+                x, updated = layer_cls(cfg, name=f"layers_{i}")(
+                    x, cos, sin, segment_ids, layer_cache, cache_idx
+                )
+                if cache is not None:
+                    new_k.append(updated[0])
+                    new_v.append(updated[1])
+            new_cache = None
             if cache is not None:
-                layer_cache = {"k": cache["k"][i], "v": cache["v"][i]}
-            x, updated = layer_cls(cfg, name=f"layers_{i}")(
-                x, cos, sin, segment_ids, layer_cache, cache_idx
-            )
-            if cache is not None:
-                new_k.append(updated[0])
-                new_v.append(updated[1])
+                new_cache = {
+                    "k": jnp.stack(new_k),
+                    "v": jnp.stack(new_v),
+                    "idx": cache["idx"] + inputs_embeds.shape[1],
+                }
 
         x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
 
+        if new_cache is not None:
+            new_cache["idx"] = cache["idx"] + inputs_embeds.shape[1]
+        return x, new_cache
+
+    def _scan_layers(self, x, cos, sin, segment_ids, cache, cache_idx):
+        cfg = self.cfg
+
+        class ScannedLayer(nn.Module):
+            cfg_: QwenTextConfig
+            remat_: bool
+
+            @nn.compact
+            def __call__(self, carry, layer_cache):
+                layer = DecoderLayer
+                if self.remat_ and layer_cache is None:
+                    layer = nn.remat(
+                        DecoderLayer, static_argnums=(), prevent_cse=False
+                    )
+                out, updated = layer(self.cfg_, name="layer")(
+                    carry, cos, sin, segment_ids, layer_cache, cache_idx
+                )
+                if layer_cache is None:
+                    return out, None
+                return out, {"k": updated[0], "v": updated[1]}
+
+        scan = nn.scan(
+            ScannedLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=0,
+            out_axes=0,
+            length=cfg.num_hidden_layers,
+            metadata_params={nn.meta.PARTITION_NAME: "layers"},
+        )
+        layer_caches = (
+            None if cache is None
+            else {"k": cache["k"], "v": cache["v"]}
+        )
+        x, stacked = scan(cfg, self.remat, name="layers_scan")(
+            x, layer_caches
+        )
         new_cache = None
         if cache is not None:
-            new_cache = {
-                "k": jnp.stack(new_k),
-                "v": jnp.stack(new_v),
-                "idx": cache["idx"] + inputs_embeds.shape[1],
-            }
+            new_cache = {"k": stacked["k"], "v": stacked["v"]}
         return x, new_cache
 
 

@@ -143,6 +143,34 @@ def map_hf_key(key: str) -> Optional[Tuple[str, bool]]:
     return None
 
 
+def stack_qwen_layers(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert per-layer params (lm/model/layers_i/...) into the stacked
+    layout used by scan_layers=True (lm/model/layers_scan/layer/... with a
+    leading layer axis)."""
+    import copy
+
+    from flax.core import meta
+
+    out = copy.deepcopy(meta.unbox(params))
+    tree = out["params"] if "params" in out else out
+    model = tree["lm"]["model"] if "lm" in tree else tree["model"]
+    layer_keys = sorted(
+        (k for k in model if k.startswith("layers_") and k != "layers_scan"),
+        key=lambda k: int(k.split("_")[1]),
+    )
+    if not layer_keys:
+        return out
+    stacked = jax_tree_stack([model.pop(k) for k in layer_keys])
+    model["layers_scan"] = {"layer": stacked}
+    return out
+
+
+def jax_tree_stack(trees):
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
 def load_qwen25vl_params(
     model_dir: str, dtype=np.float32
 ) -> Dict[str, Any]:
