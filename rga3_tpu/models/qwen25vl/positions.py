@@ -74,8 +74,12 @@ def get_rope_index(
                     spg = 1.0
             lt, lh, lw = int(t), int(h) // sms, int(w) // sms
             span = lt * lh * lw
+            # HF casts second_per_grid_t to the int64 dtype of the range
+            # tensor BEFORE multiplying (truncation toward zero) — match it
+            # exactly for positional parity
+            spg_i = int(spg)
             t_idx = np.repeat(
-                (np.arange(lt) * spg * tps).astype(np.int64), lh * lw
+                (np.arange(lt) * spg_i * tps).astype(np.int64), lh * lw
             )
             h_idx = np.tile(np.repeat(np.arange(lh), lw), lt)
             w_idx = np.tile(np.tile(np.arange(lw), lh), lt)

@@ -140,3 +140,30 @@ def test_vision_logits_match(hf_and_ours):
     np.testing.assert_allclose(
         np.asarray(out), out_hf, rtol=3e-3, atol=3e-3
     )
+
+
+def test_video_rope_index_matches_hf(hf_and_ours):
+    hf, hf_cfg, model, ours_cfg, params = hf_and_ours
+    from rga3_tpu.models.qwen25vl.positions import get_rope_index
+
+    rng = np.random.default_rng(3)
+    grid = (2, 4, 4)  # video: 2 temporal groups
+    n_vis = 2 * 16 // 4
+    ids = rng.integers(0, 1000, size=(1, 10 + n_vis)).astype(np.int64)
+    ids[0, 2] = hf_cfg.vision_start_token_id
+    ids[0, 3 : 3 + n_vis] = hf_cfg.video_token_id
+    ids[0, 3 + n_vis] = hf_cfg.vision_end_token_id
+    spg = [1.5]
+    pos_hf, delta_hf = hf.model.get_rope_index(
+        torch.tensor(ids),
+        video_grid_thw=torch.tensor([list(grid)]),
+        second_per_grid_ts=torch.tensor(spg),
+        attention_mask=torch.ones_like(torch.tensor(ids)),
+    )
+    pos, delta = get_rope_index(
+        ours_cfg, ids, video_grid_thw=[grid], second_per_grid_ts=spg
+    )
+    np.testing.assert_array_equal(pos_hf.numpy(), pos)
+    np.testing.assert_array_equal(
+        delta_hf.numpy().reshape(-1), delta
+    )
