@@ -9,8 +9,9 @@ Here the tracker is an interface with two backends:
     `backward_tracking=True` behavior). Dependency-free beyond cv2 and
     fully adequate for STOM's aggregate median-flow use (STOM only consumes
     robust averages over ~100 points, not per-point trajectories).
-  * `CoTrackerJax` — placeholder for the full JAX CoTracker3 rebuild
-    (SURVEY.md §7 hard part 2); raises until implemented.
+  * `CoTrackerJax` (cotracker.py) — the in-framework trainable
+    point-tracking transformer (conv encoder + multi-scale correlation +
+    time/track attention), same `track()` interface.
 
 API matches what STOM consumes: track(frames, query_mask, query_frame_idx)
 -> (tracks (T, N, 2) xy, visibility (T, N) bool).
