@@ -114,7 +114,9 @@ def main():
             "tiny": tiny_config()}[args.model_size]
     qcfg = qcfg.replace(
         text=qcfg.text.replace(
-            lora_rank=args.lora_r, lora_alpha=args.lora_alpha
+            lora_rank=args.lora_r, lora_alpha=args.lora_alpha,
+            # scan-over-layers keeps the XLA graph small for the big models
+            scan_layers=args.model_size != "tiny",
         )
     )
     scfg = SAM2_HIERA_L if args.model_size != "tiny" else tiny_sam2_config()
@@ -136,7 +138,14 @@ def main():
     if args.model_dir != "dummy":
         print("loading pretrained weights...", flush=True)
         try:
-            tree["qwen"] = load_qwen25vl_params(args.model_dir)["params"]
+            loaded = load_qwen25vl_params(args.model_dir)["params"]
+            if qcfg.text.scan_layers:
+                from rga3_tpu.models.qwen25vl.loader import (
+                    stack_qwen_layers,
+                )
+
+                loaded = stack_qwen_layers({"params": loaded})["params"]
+            tree["qwen"] = loaded
         except FileNotFoundError:
             print("no safetensors found — random-initializing the LLM",
                   flush=True)

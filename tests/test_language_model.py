@@ -55,3 +55,33 @@ def test_segment_ids_isolate_padding():
         rtol=2e-4,
         atol=2e-4,
     )
+
+
+def test_sampling_generate_runs():
+    """temperature>0 + top_p nucleus path through greedy_generate."""
+    import jax
+    from rga3_tpu.models.qwen25vl import tiny_config as _tc
+    from rga3_tpu.models.qwen25vl.model import Qwen25VL
+    from rga3_tpu.models.qwen25vl.generate import greedy_generate
+    from rga3_tpu.models.qwen25vl.positions import get_rope_index
+
+    cfg = _tc(vocab_size=300)
+    model = Qwen25VL(cfg)
+    ids = np.random.default_rng(0).integers(0, 300, (1, 6)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), input_ids=jnp.asarray(ids))
+    pos, deltas = get_rope_index(cfg, ids)
+    outs = []
+    for seed in (0, 1):
+        toks = greedy_generate(
+            model, params, jnp.asarray(ids),
+            jnp.ones((1, 6), jnp.int32), jnp.asarray(pos),
+            jnp.asarray(deltas), max_new_tokens=6,
+            eos_token_id=10_000, pad_token_id=0,
+            temperature=0.9, top_p=0.9,
+            rng=jax.random.PRNGKey(seed),
+            compute_dtype=jnp.float32,
+        )
+        outs.append(np.asarray(toks))
+    assert outs[0].shape == (1, 6)
+    # different seeds should (almost surely) sample different sequences
+    assert not np.array_equal(outs[0], outs[1])
