@@ -216,15 +216,10 @@ class UniGRChat:
             patches.append(enc["pixel_values_videos"])
         pp = np.concatenate(patches, 0) if patches else None
 
-        qwen = (
-            self.model if hasattr(self.model.cfg, "vision")
-            else None
-        )
-        if qwen is None:
-            # UniGR: generate through the inner Qwen module
-            qwen_model = self.model.qwen if hasattr(self.model, "qwen") else None
-            raise NotImplementedError(
-                "pass the Qwen25VL module directly for chat"
+        if not hasattr(self.model.cfg, "vision"):
+            raise TypeError(
+                "UniGRChat drives a Qwen25VL module; for a UniGR composite "
+                "pass model.qwen with the matching params subtree"
             )
         toks = greedy_generate(
             self.model, self.params,

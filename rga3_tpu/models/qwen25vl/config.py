@@ -36,6 +36,10 @@ class QwenVisionConfig(ConfigBase):
     fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
     out_hidden_size: int = 3584
     rms_norm_eps: float = 1e-6
+    # compile the tower as nn.scan over one stacked block; full-attention
+    # blocks are selected by a scanned per-block boolean (window/full
+    # attention differ only in which segment-id vector they use)
+    scan_blocks: bool = False
 
     @property
     def head_dim(self) -> int:

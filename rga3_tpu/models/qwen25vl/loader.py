@@ -143,10 +143,12 @@ def map_hf_key(key: str) -> Optional[Tuple[str, bool]]:
     return None
 
 
-def stack_qwen_layers(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Convert per-layer params (lm/model/layers_i/...) into the stacked
-    layout used by scan_layers=True (lm/model/layers_scan/layer/... with a
-    leading layer axis)."""
+def stack_qwen_layers(
+    params: Dict[str, Any], stack_vision: bool = False
+) -> Dict[str, Any]:
+    """Convert per-layer params into the stacked layouts used by
+    scan_layers=True (lm/model/layers_scan/layer/...) and, optionally,
+    scan_blocks=True (visual/blocks_scan/block/...)."""
     import copy
 
     from flax.core import meta
@@ -158,10 +160,19 @@ def stack_qwen_layers(params: Dict[str, Any]) -> Dict[str, Any]:
         (k for k in model if k.startswith("layers_") and k != "layers_scan"),
         key=lambda k: int(k.split("_")[1]),
     )
-    if not layer_keys:
-        return out
-    stacked = jax_tree_stack([model.pop(k) for k in layer_keys])
-    model["layers_scan"] = {"layer": stacked}
+    if layer_keys:
+        stacked = jax_tree_stack([model.pop(k) for k in layer_keys])
+        model["layers_scan"] = {"layer": stacked}
+    if stack_vision and "visual" in tree:
+        vis = tree["visual"]
+        block_keys = sorted(
+            (k for k in vis
+             if k.startswith("blocks_") and k != "blocks_scan"),
+            key=lambda k: int(k.split("_")[1]),
+        )
+        if block_keys:
+            stacked = jax_tree_stack([vis.pop(k) for k in block_keys])
+            vis["blocks_scan"] = {"block": stacked}
     return out
 
 

@@ -222,11 +222,40 @@ class QwenVisionTower(nn.Module):
         x = x[token_perm]  # reorder into window order
         cos, sin = vision_rope_cos_sin(hpos, wpos, cfg.head_dim)
 
-        for i in range(cfg.depth):
-            seg = (
-                grid_seg if i in cfg.fullatt_block_indexes else window_seg
+        if cfg.scan_blocks:
+            class ScannedBlock(nn.Module):
+                cfg_: QwenVisionConfig
+
+                @nn.compact
+                def __call__(self, carry, use_full):
+                    seg = jnp.where(use_full, grid_seg, window_seg)
+                    return (
+                        VisionBlock(self.cfg_, name="block")(
+                            carry, cos, sin, seg
+                        ),
+                        None,
+                    )
+
+            use_full = jnp.asarray(
+                [i in cfg.fullatt_block_indexes for i in range(cfg.depth)]
             )
-            x = VisionBlock(cfg, name=f"blocks_{i}")(x, cos, sin, seg)
+            scan_cls = nn.scan(
+                ScannedBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=0,
+                out_axes=0,
+                length=cfg.depth,
+                metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            )
+            x, _ = scan_cls(cfg, name="blocks_scan")(x, use_full)
+        else:
+            for i in range(cfg.depth):
+                seg = (
+                    grid_seg if i in cfg.fullatt_block_indexes
+                    else window_seg
+                )
+                x = VisionBlock(cfg, name=f"blocks_{i}")(x, cos, sin, seg)
 
         # merger: RMSNorm → concat 2x2 merge unit → MLP
         x = VisionRMSNorm(cfg.rms_norm_eps, name="merger_ln_q")(x)

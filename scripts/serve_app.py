@@ -38,11 +38,12 @@ def main():
         segmentor = build_segmentor(a)
 
         from rga3_tpu.evaluation.segmentor import UniGRChat
+        from rga3_tpu.models.qwen25vl.model import Qwen25VL
 
         chat = UniGRChat(
-            segmentor.model.qwen if hasattr(segmentor.model, "qwen")
-            else segmentor.model,
-            segmentor.params, segmentor.processor,
+            Qwen25VL(segmentor.model.cfg.qwen),
+            {"params": segmentor.params["params"]["qwen"]},
+            segmentor.processor,
         )
     print(f"serving on :{args.port}", flush=True)
     serve(UniGRService(chat=chat, segmentor=segmentor), port=args.port)

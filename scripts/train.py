@@ -93,7 +93,6 @@ def main():
     from rga3_tpu.models.sam2.loader import load_sam2_params
     from rga3_tpu.models.unigr import UniGR, UniGRConfig
     from rga3_tpu.parallel.mesh import make_mesh
-    from rga3_tpu.parallel.sharding import shard_batch_spec
     from rga3_tpu.train.checkpoints import CheckpointManager
     from rga3_tpu.train.step import build_train_step, make_train_state
     from rga3_tpu.utils.meters import AverageMeter, ProgressMeter

@@ -40,3 +40,31 @@ def test_scan_matches_loop_and_cache_decode():
     np.testing.assert_allclose(
         np.asarray(stepped), np.asarray(out_loop), rtol=2e-4, atol=2e-4
     )
+
+
+def test_vision_scan_blocks_matches_loop():
+    from rga3_tpu.models.qwen25vl.vision import (
+        QwenVisionTower, compute_vision_layout, layout_device_args,
+    )
+
+    base_cfg = tiny_config(vocab_size=300).vision
+    loop_tower = QwenVisionTower(base_cfg)
+    scan_tower = QwenVisionTower(base_cfg.replace(scan_blocks=True))
+    rng = np.random.default_rng(0)
+    grid = (1, 4, 4)
+    patches = jnp.asarray(
+        rng.normal(size=(16, 3 * 2 * 14 * 14)).astype(np.float32)
+    )
+    layout = compute_vision_layout([grid], base_cfg)
+    la = layout_device_args(layout, base_cfg)
+    params = loop_tower.init(jax.random.PRNGKey(0), patches, **la)
+    stacked = stack_qwen_layers(
+        {"params": {"lm": {"model": {}}, "visual": params["params"]}},
+        stack_vision=True,
+    )
+    sparams = {"params": stacked["params"]["visual"]}
+    out_loop = loop_tower.apply(params, patches, **la)
+    out_scan = scan_tower.apply(sparams, patches, **la)
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_loop), rtol=2e-4, atol=2e-4
+    )
