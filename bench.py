@@ -70,19 +70,21 @@ def main():
     params = make_params(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
+    # params passed as an ARGUMENT: closing over them would bake ~0.4GB of
+    # constants into the HLO and stall the remote compiler
     @jax.jit
-    def run(fr, le):
+    def run(params, fr, le):
         out = model.apply(
             params, fr, le, method=Sam2Model.decode_frames_with_language
         )
         return out["low_res_masks"]
 
     # warmup/compile
-    run(frames, lang).block_until_ready()
+    run(params, frames, lang).block_until_ready()
 
     iters = 32
     t0 = time.perf_counter()
-    outs = [run(frames + i, lang) for i in range(iters)]
+    outs = [run(params, frames + i, lang) for i in range(iters)]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     fps = (iters * B) / dt

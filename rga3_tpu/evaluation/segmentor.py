@@ -49,6 +49,7 @@ class UniGRSegmentor:
         sam_chunk: int = 8,
         compute_dtype=None,
     ):
+        import jax
         import jax.numpy as jnp
 
         self.model = model
@@ -57,6 +58,46 @@ class UniGRSegmentor:
         self.num_frames_mllm = num_frames_mllm
         self.sam_chunk = sam_chunk
         self.compute_dtype = compute_dtype or jnp.float32
+
+        # jitted hot paths, params as ARGUMENTS (closure params would be
+        # serialized into the HLO); created once so the jit cache persists
+        # across videos
+        cdtype = self.compute_dtype
+        seg_id = model.cfg.seg.seg_token_id
+
+        @jax.jit
+        def _llm_seg(params, input_ids, position_ids, pixel_patches,
+                     vision_layout):
+            from ..ops.seg_gather import gather_seg_embeddings
+
+            out = model.apply(
+                params,
+                input_ids=input_ids,
+                position_ids=position_ids,
+                pixel_patches=pixel_patches,
+                vision_layout=vision_layout,
+                compute_dtype=cdtype,
+                method=lambda m, **kw: m.qwen(**kw),
+            )
+            projected = model.apply(
+                params, out["hidden_states"],
+                method=lambda m, h_: m.text_hidden_fcs(h_),
+            )
+            return gather_seg_embeddings(projected, input_ids, seg_id)
+
+        @jax.jit
+        def _sam_decode(params, frames, lang):
+            return model.apply(
+                params, frames, lang, True, False,
+                method=lambda m, fr, le, mm, tr: (
+                    m.grounding_encoder.decode_frames_with_language(
+                        fr, le, multimask_output=mm, training=tr
+                    )
+                ),
+            )["high_res_masks"]
+
+        self._llm_seg = _llm_seg
+        self._sam_decode = _sam_decode
 
     def segment_video(
         self,
@@ -91,27 +132,12 @@ class UniGRSegmentor:
         # run LLM once to get the [SEG] embedding, then chunk SAM frames
         sam_size = self.model.cfg.sam2.image_size
         out_masks = np.zeros((t_all, h, w), bool)
-        # encode all SAM frames in chunks through evaluate_step-equivalent:
-        # first chunk call computes the language embedding too; to avoid
-        # rerunning the LLM per chunk, split the steps manually.
-        qwen_out = self.model.apply(
+        seg_emb, has_seg = self._llm_seg(
             self.params,
-            input_ids=jnp.asarray(input_ids, jnp.int32),
-            position_ids=jnp.asarray(pos),
-            pixel_patches=jnp.asarray(enc["pixel_values_videos"]),
-            vision_layout=la,
-            compute_dtype=self.compute_dtype,
-            method=lambda m, **kw: m.qwen(**kw),
-        )
-        projected = self.model.apply(
-            self.params, qwen_out["hidden_states"],
-            method=lambda m, h_: m.text_hidden_fcs(h_),
-        )
-        from ..ops.seg_gather import gather_seg_embeddings
-
-        seg_emb, has_seg = gather_seg_embeddings(
-            projected, jnp.asarray(input_ids, jnp.int32),
-            self.model.cfg.seg.seg_token_id,
+            jnp.asarray(input_ids, jnp.int32),
+            jnp.asarray(pos),
+            jnp.asarray(enc["pixel_values_videos"]),
+            la,
         )
         if not bool(np.asarray(has_seg)[0]):
             return out_masks
@@ -131,17 +157,10 @@ class UniGRSegmentor:
                 jnp.asarray(seg_emb[0])[None, None, :],
                 (sam_frames.shape[0], 1, self.model.cfg.seg.out_dim),
             )
-            sam_out = self.model.apply(
+            masks = self._sam_decode(
                 self.params,
                 jnp.asarray(sam_frames, self.compute_dtype), lang,
-                True, False,
-                method=lambda m, fr, le, mm, tr: (
-                    m.grounding_encoder.decode_frames_with_language(
-                        fr, le, multimask_output=mm, training=tr
-                    )
-                ),
-            )
-            masks = sam_out["high_res_masks"][:, 0]  # (chunk, S, S)
+            )[:, 0]  # (chunk, S, S)
             masks = resize_bilinear(masks, (h, w))
             masks_np = np.asarray(jax.nn.sigmoid(masks) > 0.5)
             out_masks[start : start + len(sub)] = masks_np[: len(sub)]

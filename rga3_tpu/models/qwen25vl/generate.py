@@ -22,6 +22,29 @@ from .language import make_kv_cache
 from .model import Qwen25VL
 
 
+@functools.lru_cache(maxsize=16)
+def _prefill_fn(model, compute_dtype, has_vision: bool):
+    """Cached jitted prefill. params are ARGUMENTS (closing over big param
+    trees bakes them into the HLO as constants — pathological to compile
+    and re-traced/re-compiled per call)."""
+
+    @jax.jit
+    def f(params, input_ids, position_ids, seg, cache,
+          pixel_patches, vision_layout):
+        return model.apply(
+            params,
+            input_ids=input_ids,
+            position_ids=position_ids,
+            segment_ids=seg,
+            pixel_patches=pixel_patches if has_vision else None,
+            vision_layout=vision_layout if has_vision else None,
+            cache=cache,
+            compute_dtype=compute_dtype,
+        )
+
+    return f
+
+
 def _sample_token(
     logits: jnp.ndarray,  # (B, V)
     rng: jax.Array,
@@ -66,15 +89,9 @@ def greedy_generate(
     )
     seg = attention_mask.astype(jnp.int32)
 
-    out = model.apply(
-        params,
-        input_ids=input_ids,
-        position_ids=position_ids,
-        segment_ids=seg,
-        pixel_patches=pixel_patches,
-        vision_layout=vision_layout,
-        cache=cache,
-        compute_dtype=compute_dtype,
+    out = _prefill_fn(model, compute_dtype, pixel_patches is not None)(
+        params, input_ids, position_ids, seg, cache,
+        pixel_patches, vision_layout,
     )
     cache = out["cache"]
 

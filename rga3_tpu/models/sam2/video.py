@@ -41,8 +41,10 @@ def segment_video_with_language(
             language_embd[None], (t, *language_embd.shape)
         )
 
+    # params as an argument (closure constants would be re-serialized into
+    # the compiled graph — catastrophic for big checkpoints)
     @jax.jit
-    def run(fr, le):
+    def run(params, fr, le):
         out = model.apply(
             params, fr, le, method=Sam2Model.decode_frames_with_language
         )
@@ -56,7 +58,7 @@ def segment_video_with_language(
         if pad:
             fr = jnp.pad(fr, ((0, pad), (0, 0), (0, 0), (0, 0)))
             le = jnp.pad(le, ((0, pad), (0, 0), (0, 0)))
-        outs.append(run(fr, le)[: chunk - pad if pad else chunk])
+        outs.append(run(params, fr, le)[: chunk - pad if pad else chunk])
     return jnp.concatenate(outs, axis=0)
 
 
