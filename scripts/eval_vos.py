@@ -22,33 +22,61 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_segmentor(args):
+    import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from rga3_tpu.config import SegHeadConfig
     from rga3_tpu.data.processor import QwenVLProcessor
     from rga3_tpu.evaluation.segmentor import UniGRSegmentor
-    from rga3_tpu.models.qwen25vl import QWEN25_VL_3B, QWEN25_VL_7B
+    from rga3_tpu.models.qwen25vl import (
+        QWEN25_VL_3B, QWEN25_VL_7B, tiny_config,
+    )
     from rga3_tpu.models.qwen25vl.loader import load_unigr_params
-    from rga3_tpu.models.sam2 import SAM2_HIERA_L
+    from rga3_tpu.models.sam2 import SAM2_HIERA_L, tiny_sam2_config
     from rga3_tpu.models.sam2.loader import load_sam2_params
     from rga3_tpu.models.unigr import UniGR, UniGRConfig
 
     processor = QwenVLProcessor.from_pretrained(args.model_dir)
-    qcfg = QWEN25_VL_7B if args.model_size == "7b" else QWEN25_VL_3B
+    size = getattr(args, "model_size", "7b")
+    qcfg = {"7b": QWEN25_VL_7B, "3b": QWEN25_VL_3B,
+            "tiny": tiny_config()}[size]
+    scfg = SAM2_HIERA_L if size != "tiny" else tiny_sam2_config()
     cfg = UniGRConfig(
-        qwen=qcfg, sam2=SAM2_HIERA_L,
-        seg=SegHeadConfig(seg_token_id=processor.seg_token_id),
+        qwen=qcfg, sam2=scfg,
+        seg=SegHeadConfig(
+            out_dim=scfg.d_model, seg_token_id=processor.seg_token_id
+        ),
     )
     model = UniGR(cfg)
-    params = load_unigr_params(args.model_dir)
-    if args.sam_pretrained and "grounding_encoder" not in params["params"]:
-        params["params"]["grounding_encoder"] = load_sam2_params(
-            args.sam_pretrained
-        )["params"]
+    if args.model_dir == "dummy":
+        from flax.core import meta
+
+        shapes = jax.eval_shape(
+            lambda k: model.init(
+                k,
+                jnp.zeros((1, scfg.image_size, scfg.image_size, 3)),
+                jnp.zeros((1, 1, scfg.d_model)),
+                jnp.zeros((1, 8), jnp.int32),
+            ),
+            jax.random.PRNGKey(0),
+        )
+        params = jax.tree.map(
+            lambda s: np.random.default_rng(0)
+            .normal(0, 0.02, s.shape).astype(np.float32),
+            meta.unbox(shapes),
+        )
+    else:
+        params = load_unigr_params(args.model_dir)
+        if (args.sam_pretrained
+                and "grounding_encoder" not in params["params"]):
+            params["params"]["grounding_encoder"] = load_sam2_params(
+                args.sam_pretrained
+            )["params"]
     return UniGRSegmentor(
         model, params, processor,
         num_frames_mllm=args.num_frames_mllm,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=jnp.float32 if size == "tiny" else jnp.bfloat16,
     )
 
 
@@ -60,7 +88,7 @@ def main():
     p.add_argument("--out_dir", required=True)
     p.add_argument("--model_dir")
     p.add_argument("--sam_pretrained")
-    p.add_argument("--model_size", choices=["3b", "7b"], default="7b")
+    p.add_argument("--model_size", choices=["3b", "7b", "tiny"], default="7b")
     p.add_argument("--num_frames_mllm", type=int, default=8)
     p.add_argument("--subset_idx", type=int, default=0)
     p.add_argument("--subset_num", type=int, default=1)
