@@ -33,9 +33,8 @@ def main():
     model = Sam2Model(cfg)
     rng = np.random.default_rng(0)
 
-    B = 1  # frames per jitted call (matches the cached compile; batching
-    # is a round-2 optimization — the remote compiler here is slow/variable
-    # for fresh graphs, see .jax_cache)
+    B = 8  # frames per jitted call (batched decode amortizes dispatch and
+    # fills the MXU better; ~46s compile for this graph on this backend)
     frames = jnp.asarray(
         rng.normal(size=(B, cfg.image_size, cfg.image_size, 3)).astype(
             np.float32
@@ -79,13 +78,18 @@ def main():
         )
         return out["low_res_masks"]
 
-    # warmup/compile
-    run(params, frames, lang).block_until_ready()
+    # warmup/compile (np.asarray forces a real host fetch — on this
+    # backend block_until_ready alone can return optimistically)
+    np.asarray(run(params, frames, lang))
 
     iters = 32
     t0 = time.perf_counter()
-    outs = [run(params, frames + i, lang) for i in range(iters)]
-    jax.block_until_ready(outs)
+    acc = None
+    for i in range(iters):
+        out = run(params, frames + i, lang)
+        s = jnp.sum(out.astype(jnp.float32))
+        acc = s if acc is None else acc + s
+    float(np.asarray(acc))  # forces completion of every iteration
     dt = time.perf_counter() - t0
     fps = (iters * B) / dt
 

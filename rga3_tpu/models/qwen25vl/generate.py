@@ -121,30 +121,55 @@ def greedy_generate(
         mask_logits(logits.astype(jnp.float32)), rng, temperature, top_p
     )
 
-    def step(carry, i):
-        cache, tok, done, rng = carry
-        rng, sub = jax.random.split(rng)
-        pos = jnp.broadcast_to(
-            (next_pos + i)[None, :, None], (3, b, 1)
-        ).astype(jnp.int32)
-        out = model.apply(
-            params,
-            input_ids=tok[:, None],
-            position_ids=pos,
-            cache=cache,
-            compute_dtype=compute_dtype,
-        )
-        logits = mask_logits(out["logits"][:, -1].astype(jnp.float32))
-        nxt = _sample_token(logits, sub, temperature, top_p)
-        nxt = jnp.where(done, pad_token_id, nxt)
-        emitted = jnp.where(done, pad_token_id, tok)
-        done = done | (tok == eos_token_id)
-        return (out["cache"], nxt, done, rng), emitted
-
-    done0 = jnp.zeros((b,), bool)
-    (_, _, _, _), toks = jax.lax.scan(
-        step,
-        (cache, first_tok, done0, rng),
-        jnp.arange(1, max_new_tokens + 1),
+    decode = _decode_fn(
+        model, compute_dtype, max_new_tokens,
+        int(eos_token_id), int(pad_token_id),
+        tuple(int(i) for i in suppress_ids),
+        float(temperature), float(top_p),
     )
-    return jnp.moveaxis(toks, 0, 1)  # (B, max_new_tokens)
+    return decode(params, cache, first_tok, rng, next_pos)
+
+
+@functools.lru_cache(maxsize=16)
+def _decode_fn(model, compute_dtype, max_new_tokens, eos_token_id,
+               pad_token_id, suppress_ids, temperature, top_p):
+    """Cached jitted decode scan — params as arguments, never captured."""
+    sup = (
+        jnp.asarray(list(suppress_ids), jnp.int32) if suppress_ids else None
+    )
+
+    @jax.jit
+    def decode(params, cache, first_tok, rng, next_pos):
+        b = first_tok.shape[0]
+
+        def step(carry, i):
+            cache, tok, done, rng = carry
+            rng, sub = jax.random.split(rng)
+            pos = jnp.broadcast_to(
+                (next_pos + i)[None, :, None], (3, b, 1)
+            ).astype(jnp.int32)
+            out = model.apply(
+                params,
+                input_ids=tok[:, None],
+                position_ids=pos,
+                cache=cache,
+                compute_dtype=compute_dtype,
+            )
+            lg = out["logits"][:, -1].astype(jnp.float32)
+            if sup is not None:
+                lg = lg.at[:, sup].set(-jnp.inf)
+            nxt = _sample_token(lg, sub, temperature, top_p)
+            nxt = jnp.where(done, pad_token_id, nxt)
+            emitted = jnp.where(done, pad_token_id, tok)
+            done = done | (tok == eos_token_id)
+            return (out["cache"], nxt, done, rng), emitted
+
+        done0 = jnp.zeros((b,), bool)
+        (_, _, _, _), toks = jax.lax.scan(
+            step,
+            (cache, first_tok, done0, rng),
+            jnp.arange(1, max_new_tokens + 1),
+        )
+        return jnp.moveaxis(toks, 0, 1)  # (B, max_new_tokens)
+
+    return decode
