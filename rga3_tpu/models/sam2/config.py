@@ -28,6 +28,9 @@ class HieraConfig(ConfigBase):
     patch_kernel: int = 7
     patch_stride: int = 4
     patch_padding: int = 3
+    # block-diagonal Pallas kernel for non-pooling windowed blocks
+    # (fallback switch for A/B benchmarking and debugging)
+    use_window_kernel: bool = True
 
     @property
     def depth(self) -> int:

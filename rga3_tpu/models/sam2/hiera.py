@@ -75,38 +75,62 @@ class MultiScaleBlock(nn.Module):
         # window partition
         ws = self.window_size
         h, w = x.shape[1:3]
-        if ws > 0:
+        b = x.shape[0]
+
+        if ws > 0 and not self.do_q_pool and cfg.use_window_kernel:
+            # local path: windows stay in the SEQUENCE (window-major), and
+            # attention runs the block-diagonal Pallas kernel — no
+            # per-window logits materialized in HBM
+            from ...ops.attention import window_attention
+
             attn_in, pad_hw = window_partition(normed, ws)
-        else:
-            attn_in, pad_hw = normed, (h, w)
-
-        # attention with optional q pooling
-        b_, ah, aw, _ = attn_in.shape
-        qkv = nn.Dense(3 * self.dim_out, name="attn_qkv")(attn_in)
-        qkv = qkv.reshape(b_, ah * aw, 3, self.num_heads, -1)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        if self.do_q_pool:
-            hd = q.shape[-1]
-            q = q.reshape(b_, ah, aw, self.num_heads * hd)
-            q = _max_pool_2x2(q, cfg.q_stride)
-            ah, aw = q.shape[1:3]
-            q = q.reshape(b_, ah * aw, self.num_heads, hd)
-        out = attend(q, k, v)
-        out = out.reshape(b_, ah, aw, -1)
-        out = nn.Dense(self.dim_out, name="attn_proj")(out)
-
-        if self.do_q_pool:
-            ws_out = ws // cfg.q_stride[0] if ws > 0 else 0
-            h_out, w_out = shortcut.shape[1:3]
-            if ws > 0:
-                pad_hw = (
-                    h_out + ((-h_out) % ws_out),
-                    w_out + ((-w_out) % ws_out),
-                )
-                out = window_unpartition(out, ws_out, pad_hw, (h_out, w_out))
+            n_win = attn_in.shape[0] // b
+            tokens = attn_in.reshape(b, n_win * ws * ws, -1)
+            qkv = nn.Dense(3 * self.dim_out, name="attn_qkv")(tokens)
+            qkv = qkv.reshape(
+                b, n_win * ws * ws, 3, self.num_heads, -1
+            )
+            out = window_attention(
+                qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], ws * ws
+            )
+            out = out.reshape(b * n_win, ws, ws, -1)
+            out = nn.Dense(self.dim_out, name="attn_proj")(out)
+            out = window_unpartition(out, ws, pad_hw, (h, w))
         else:
             if ws > 0:
-                out = window_unpartition(out, ws, pad_hw, (h, w))
+                attn_in, pad_hw = window_partition(normed, ws)
+            else:
+                attn_in, pad_hw = normed, (h, w)
+
+            # attention with optional q pooling
+            b_, ah, aw, _ = attn_in.shape
+            qkv = nn.Dense(3 * self.dim_out, name="attn_qkv")(attn_in)
+            qkv = qkv.reshape(b_, ah * aw, 3, self.num_heads, -1)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if self.do_q_pool:
+                hd = q.shape[-1]
+                q = q.reshape(b_, ah, aw, self.num_heads * hd)
+                q = _max_pool_2x2(q, cfg.q_stride)
+                ah, aw = q.shape[1:3]
+                q = q.reshape(b_, ah * aw, self.num_heads, hd)
+            out = attend(q, k, v)
+            out = out.reshape(b_, ah, aw, -1)
+            out = nn.Dense(self.dim_out, name="attn_proj")(out)
+
+            if self.do_q_pool:
+                ws_out = ws // cfg.q_stride[0] if ws > 0 else 0
+                h_out, w_out = shortcut.shape[1:3]
+                if ws > 0:
+                    pad_hw = (
+                        h_out + ((-h_out) % ws_out),
+                        w_out + ((-w_out) % ws_out),
+                    )
+                    out = window_unpartition(
+                        out, ws_out, pad_hw, (h_out, w_out)
+                    )
+            else:
+                if ws > 0:
+                    out = window_unpartition(out, ws, pad_hw, (h, w))
 
         x = shortcut + out
         normed2 = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)

@@ -209,6 +209,102 @@ def _flash_call(
     return out
 
 
+def _local_flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, scale: float, window: int,
+    block_q: int,
+):
+    """Single-pass block-diagonal attention: the kv block IS the q block;
+    tokens only attend within their `window`-sized group (groups never
+    straddle blocks because block_q % window == 0)."""
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_q), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_q), 1)
+    mask = (rows // window) == (cols // window)
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0, 0].astype(jnp.float32)
+    o = jax.lax.dot(p, v, preferred_element_type=jnp.float32) / l
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "window", "block_q", "interpret")
+)
+def _local_flash_call(q, k, v, *, scale, window, block_q, interpret):
+    """q/k/v: (B, H, L, D) in window-major token order; L % block_q == 0."""
+    b, h, l, d = q.shape
+    grid = (b, h, l // block_q)
+    kernel = functools.partial(
+        _local_flash_kernel, scale=scale, window=window, block_q=block_q
+    )
+    spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda b_, h_, qi: (b_, h_, qi, 0)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    window: int,
+    *,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Block-diagonal windowed attention over (B, L, H, D) with tokens laid
+    out window-major (every consecutive `window` tokens form one window).
+
+    block_q default 512: measured best on v5e across the Hiera stage shapes
+    (1024-blocks spill VMEM and waste MXU work on masked pairs; see
+    STATUS.md round-1 notes).
+
+    On TPU this runs the single-pass local Pallas kernel — no O(L·window)
+    logits materialization in HBM (the XLA fallback for CPU/tests). Used by
+    the Hiera trunk and reusable for the Qwen ViT.
+    """
+    b, l, h, d = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or interpret):
+        seg = (jnp.arange(l, dtype=jnp.int32) // window)[None].repeat(b, 0)
+        return mha_reference(q, k, v, segment_ids=seg, scale=scale)
+
+    block = block_q
+    while l % block != 0 or block % window != 0:
+        block //= 2
+        if block < window:
+            block = window
+            break
+    # No manual head-dim padding: Mosaic accepts a last block dim equal to
+    # the array dim (e.g. Hiera's 72) and pads lanes internally — measured
+    # ~25% faster than padding to 128 in HBM first.
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = _local_flash_call(
+        qt, kt, vt, scale=scale, window=window, block_q=block,
+        interpret=interpret,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
 def _pad_to(x, axis, multiple):
     size = x.shape[axis]
     target = -(-size // multiple) * multiple

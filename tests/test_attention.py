@@ -65,3 +65,25 @@ def test_flash_interpret_segments_and_padding():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_window_attention_matches_reference_segments():
+    from rga3_tpu.ops.attention import window_attention
+
+    rng = np.random.default_rng(12)
+    B, L, H, D, W = 2, 256, 2, 32, 16
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    seg = jnp.asarray((np.arange(L) // W)[None].repeat(B, 0), jnp.int32)
+    ref = mha_reference(q, k, v, segment_ids=seg)
+    got_cpu = window_attention(q, k, v, W)  # CPU fallback path
+    np.testing.assert_allclose(
+        np.asarray(got_cpu), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+    got_kernel = window_attention(
+        q, k, v, W, interpret=True, block_q=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_kernel), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
