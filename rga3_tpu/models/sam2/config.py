@@ -31,6 +31,12 @@ class HieraConfig(ConfigBase):
     # block-diagonal Pallas kernel for non-pooling windowed blocks
     # (fallback switch for A/B benchmarking and debugging)
     use_window_kernel: bool = True
+    # whole-block fused Pallas kernel (LN+attn+proj+LN+MLP); measured ~2x
+    # per-block vs the unfused path on v5e. Takes precedence over
+    # use_window_kernel where it applies (windowed, no pool, dim==dim_out,
+    # dim <= fused_block_max_dim so weights stay resident in ~16MB VMEM).
+    use_fused_block: bool = True
+    fused_block_max_dim: int = 576
 
     @property
     def depth(self) -> int:

@@ -63,6 +63,15 @@ class MultiScaleBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
+        ws = self.window_size
+        if (
+            ws > 0
+            and not self.do_q_pool
+            and self.dim == self.dim_out
+            and cfg.use_fused_block
+            and self.dim_out <= cfg.fused_block_max_dim
+        ):
+            return self._fused(x)
         shortcut = x  # (B, H, W, C)
         normed = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
 
@@ -140,6 +149,58 @@ class MultiScaleBlock(nn.Module):
         hidden = nn.gelu(hidden, approximate=False)
         out2 = nn.Dense(self.dim_out, name="mlp_layers_1")(hidden)
         return x + out2
+
+    def _fused(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Whole-block fused Pallas path (LN+attn+proj+LN+MLP in one
+        kernel, weights resident in VMEM). Parameters are declared through
+        the SAME submodules as the unfused path (dummy calls, DCE'd by
+        XLA), so the checkpoint tree is identical either way."""
+        from ...ops.fused_block import fused_window_block
+
+        cfg = self.cfg
+        d = self.dim_out
+        z1 = jnp.zeros((1, self.dim), x.dtype)
+        zd = jnp.zeros((1, d), x.dtype)
+        nn.LayerNorm(epsilon=1e-6, name="norm1")(z1)
+        nn.Dense(3 * d, name="attn_qkv")(z1)
+        nn.Dense(d, name="attn_proj")(zd)
+        nn.LayerNorm(epsilon=1e-6, name="norm2")(zd)
+        hidden_dim = int(d * cfg.mlp_ratio)
+        nn.Dense(hidden_dim, name="mlp_layers_0")(zd)
+        nn.Dense(d, name="mlp_layers_1")(
+            jnp.zeros((1, hidden_dim), x.dtype)
+        )
+
+        def g(name):
+            return self.scope.get_variable("params", name)
+
+        n1, n2 = g("norm1"), g("norm2")
+        qkv, proj = g("attn_qkv"), g("attn_proj")
+        m0, m1 = g("mlp_layers_0"), g("mlp_layers_1")
+        params = {
+            "ln1_g": n1["scale"], "ln1_b": n1["bias"],
+            "wqkv": qkv["kernel"].astype(x.dtype),
+            "bqkv": qkv["bias"],
+            "wproj": proj["kernel"].astype(x.dtype),
+            "bproj": proj["bias"],
+            "ln2_g": n2["scale"], "ln2_b": n2["bias"],
+            "w1": m0["kernel"].astype(x.dtype), "b1": m0["bias"],
+            "w2": m1["kernel"].astype(x.dtype), "b2": m1["bias"],
+        }
+        ws = self.window_size
+        b, h, w = x.shape[:3]
+        attn_in, pad_hw = window_partition(x, ws)
+        n_win = attn_in.shape[0] // b
+        tokens = attn_in.reshape(b, n_win * ws * ws, d)
+        window = ws * ws
+        # block == window is mask-free; larger windows already fill the MXU
+        block_q = window if window >= 256 else 512
+        out = fused_window_block(
+            tokens, params, num_heads=self.num_heads, window=window,
+            block_q=block_q,
+        )
+        out = out.reshape(b * n_win, ws, ws, d)
+        return window_unpartition(out, ws, pad_hw, (h, w))
 
 
 class Hiera(nn.Module):

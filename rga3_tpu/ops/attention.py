@@ -257,6 +257,54 @@ def _local_flash_call(q, k, v, *, scale, window, block_q, interpret):
     )(q, k, v)
 
 
+def window_reference(q, k, v, window: int, scale: float) -> jnp.ndarray:
+    """Window-local XLA attention: reshape each `window`-token group into
+    its own batch row and attend within it. Numerically identical to
+    block-diagonal masking, but with per-window (W x W) logits instead of
+    (L x L) — this is the CPU fallback AND the custom_vjp backward body."""
+    b, l, h, d = q.shape
+    nw = l // window
+    qw = q.reshape(b * nw, window, h, d)
+    kw = k.reshape(b * nw, window, h, d)
+    vw = v.reshape(b * nw, window, h, d)
+    out = mha_reference(qw, kw, vw, scale=scale)
+    return out.reshape(b, l, h, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _window_attention_tpu(q, k, v, window, scale, block_q):
+    # No manual head-dim padding: Mosaic accepts a last block dim equal to
+    # the array dim (e.g. Hiera's 72) and pads lanes internally — measured
+    # ~25% faster than padding to 128 in HBM first.
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = _local_flash_call(
+        qt, kt, vt, scale=scale, window=window, block_q=block_q,
+        interpret=False,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
+def _window_attention_fwd(q, k, v, window, scale, block_q):
+    return _window_attention_tpu(q, k, v, window, scale, block_q), (q, k, v)
+
+
+def _window_attention_bwd(window, scale, block_q, res, g):
+    # pallas_call has no autodiff; backward re-derives through the
+    # window-local XLA reference (needed e.g. when jax.grad runs over the
+    # full UniGR param tree even though the Hiera trunk is frozen).
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: window_reference(q_, k_, v_, window, scale),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+_window_attention_tpu.defvjp(_window_attention_fwd, _window_attention_bwd)
+
+
 def window_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -275,16 +323,16 @@ def window_attention(
     STATUS.md round-1 notes).
 
     On TPU this runs the single-pass local Pallas kernel — no O(L·window)
-    logits materialization in HBM (the XLA fallback for CPU/tests). Used by
-    the Hiera trunk and reusable for the Qwen ViT.
+    logits materialization in HBM (window-local XLA on CPU/tests).
+    Differentiable: backward runs through the window-local XLA reference.
+    Used by the Hiera trunk and reusable for the Qwen ViT.
     """
     b, l, h, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     on_tpu = jax.default_backend() == "tpu"
     if not (on_tpu or interpret):
-        seg = (jnp.arange(l, dtype=jnp.int32) // window)[None].repeat(b, 0)
-        return mha_reference(q, k, v, segment_ids=seg, scale=scale)
+        return window_reference(q, k, v, window, scale)
 
     block = block_q
     while l % block != 0 or block % window != 0:
@@ -292,17 +340,16 @@ def window_attention(
         if block < window:
             block = window
             break
-    # No manual head-dim padding: Mosaic accepts a last block dim equal to
-    # the array dim (e.g. Hiera's 72) and pads lanes internally — measured
-    # ~25% faster than padding to 128 in HBM first.
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    out = _local_flash_call(
-        qt, kt, vt, scale=scale, window=window, block_q=block,
-        interpret=interpret,
-    )
-    return out.transpose(0, 2, 1, 3)
+    if interpret:
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        out = _local_flash_call(
+            qt, kt, vt, scale=scale, window=window, block_q=block,
+            interpret=True,
+        )
+        return out.transpose(0, 2, 1, 3)
+    return _window_attention_tpu(q, k, v, window, scale, block)
 
 
 def _pad_to(x, axis, multiple):

@@ -1,0 +1,301 @@
+"""Fused windowed transformer block (Pallas TPU).
+
+One kernel for the Hiera non-pooling windowed block — LN1 -> qkv ->
+block-diagonal window attention -> proj -> residual -> LN2 -> MLP (exact
+GELU) -> residual — with every intermediate kept in VMEM and the weights
+resident across grid steps (constant BlockSpec index map). Replaces the
+per-op XLA graph where each of ~10 ops round-trips activations through
+HBM; on the 1024² Hiera-L trunk stage 3 alone runs 33 such blocks
+(ref: model/sam2.py:1034-1148 MultiScaleBlock — this is its fused
+TPU-native equivalent for the dim==dim_out, no-q-pool case).
+
+Layout contract: x is (B, L, D) with tokens window-major (every
+consecutive `window` tokens form one attention group) — the same
+convention as `ops.attention.window_attention`. block_q % window == 0 or
+window % block_q == 0 is NOT required in general; we require
+block_q % window == 0 so groups never straddle blocks.
+
+VMEM budget at block_q=256: weights resident = 2*D*(3D + D + 8D) bytes
+(bf16) — 8 MB at D=576 (Hiera-L stage 3), plus ~4 MB activations; fits
+the ~16 MB/core VMEM. Stage 4 (D=1152, 32 MB weights) must NOT use this
+kernel — callers gate on D.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _erf_poly(x):
+    """Abramowitz & Stegun 7.1.26 erf (max abs err 1.5e-7 — far below bf16
+    resolution). Mosaic lowers exp but not erf/erfc."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _layernorm(x32, g, b, eps):
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _fused_kernel(
+    x_ref, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
+    ln2_g, ln2_b, w1, b1, w2, b2, o_ref,
+    *, num_heads: int, head_dim: int, window: int, block_q: int,
+    eps: float, scale: float,
+):
+    xb = x_ref[0]  # (block_q, D) bf16
+    d = xb.shape[-1]
+
+    # --- LN1 (f32 stats, like torch nn.LayerNorm on bf16 input) ---
+    ln1 = _layernorm(
+        xb.astype(jnp.float32), ln1_g[0].astype(jnp.float32),
+        ln1_b[0].astype(jnp.float32), eps,
+    ).astype(xb.dtype)
+
+    # --- qkv projection ---
+    qkv = (
+        jax.lax.dot(ln1, wqkv[...], preferred_element_type=jnp.float32)
+        + bqkv[0].astype(jnp.float32)
+    ).astype(xb.dtype)  # (block_q, 3*H*hd)
+
+    # --- block-diagonal window attention, head by head ---
+    if window < block_q:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_q), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_q), 1)
+        same = (rows // window) == (cols // window)
+    else:
+        same = None
+    outs = []
+    hd = head_dim
+    for h in range(num_heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, (num_heads + h) * hd:(num_heads + h + 1) * hd]
+        v = qkv[:, (2 * num_heads + h) * hd:(2 * num_heads + h + 1) * hd]
+        s = jax.lax.dot_general(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * scale
+        if same is not None:
+            s = jnp.where(same, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(
+            (p / l).astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        outs.append(o.astype(xb.dtype))
+    attn = jnp.concatenate(outs, axis=-1)  # (block_q, D)
+
+    # --- output projection + residual (bf16 adds, like the reference) ---
+    proj = (
+        jax.lax.dot(attn, wproj[...], preferred_element_type=jnp.float32)
+        + bproj[0].astype(jnp.float32)
+    ).astype(xb.dtype)
+    y = xb + proj
+
+    # --- LN2 + MLP (exact GELU) + residual ---
+    ln2 = _layernorm(
+        y.astype(jnp.float32), ln2_g[0].astype(jnp.float32),
+        ln2_b[0].astype(jnp.float32), eps,
+    ).astype(xb.dtype)
+    h1 = (
+        jax.lax.dot(ln2, w1[...], preferred_element_type=jnp.float32)
+        + b1[0].astype(jnp.float32)
+    ).astype(xb.dtype)
+    # exact GELU via polynomial erf (Mosaic lowers neither erf nor erfc)
+    h1f = h1.astype(jnp.float32)
+    g = (
+        0.5 * h1f * (1.0 + _erf_poly(h1f * (1.0 / math.sqrt(2.0))))
+    ).astype(xb.dtype)
+    h2 = (
+        jax.lax.dot(g, w2[...], preferred_element_type=jnp.float32)
+        + b2[0].astype(jnp.float32)
+    ).astype(xb.dtype)
+    o_ref[0] = y + h2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "window", "block_q", "eps", "scale", "interpret"
+    ),
+)
+def _fused_call(
+    x, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj, ln2_g, ln2_b, w1, b1, w2, b2,
+    *, num_heads, window, block_q, eps, scale, interpret,
+):
+    b, l, d = x.shape
+    hd = d // num_heads
+    grid = (b, l // block_q)
+    x_spec = pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0))
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda b_, qi: tuple(0 for _ in shape))
+
+    kernel = functools.partial(
+        _fused_kernel, num_heads=num_heads, head_dim=hd, window=window,
+        block_q=block_q, eps=eps, scale=scale,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            x_spec,
+            const((1, d)), const((1, d)),          # ln1 g/b
+            const((d, 3 * d)), const((1, 3 * d)),  # wqkv/bqkv
+            const((d, d)), const((1, d)),          # wproj/bproj
+            const((1, d)), const((1, d)),          # ln2 g/b
+            const((d, w1.shape[1])), const((1, w1.shape[1])),
+            const((w1.shape[1], d)), const((1, d)),
+        ],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(
+        x, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
+        ln2_g, ln2_b, w1, b1, w2, b2,
+    )
+
+
+def _reference_block(
+    x, p, *, num_heads: int, window: int, eps: float, scale: float
+):
+    """Pure-XLA mirror of the fused kernel (CPU fallback + test oracle).
+    Matches hiera.MultiScaleBlock's math for dim==dim_out, no q-pool."""
+    b, l, d = x.shape
+
+    def ln(v, g, bb):
+        v32 = v.astype(jnp.float32)
+        mu = v32.mean(-1, keepdims=True)
+        var = ((v32 - mu) ** 2).mean(-1, keepdims=True)
+        out = (v32 - mu) / jnp.sqrt(var + eps) * g + bb
+        return out.astype(v.dtype)
+
+    ln1 = ln(x, p["ln1_g"], p["ln1_b"])
+    qkv = (
+        (ln1 @ p["wqkv"]).astype(jnp.float32) + p["bqkv"]
+    ).astype(x.dtype)
+    qkv = qkv.reshape(b, l, 3, num_heads, d // num_heads)
+    from .attention import window_reference
+
+    attn = window_reference(
+        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], window, scale
+    ).reshape(b, l, d)
+    proj = (
+        (attn @ p["wproj"]).astype(jnp.float32) + p["bproj"]
+    ).astype(x.dtype)
+    y = x + proj
+    ln2 = ln(y, p["ln2_g"], p["ln2_b"])
+    h1 = ((ln2 @ p["w1"]).astype(jnp.float32) + p["b1"]).astype(x.dtype)
+    g = jax.nn.gelu(h1, approximate=False)
+    h2 = ((g @ p["w2"]).astype(jnp.float32) + p["b2"]).astype(x.dtype)
+    return y + h2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _fused_block_tpu(x, params, num_heads, window, block_q, eps, scale):
+    def row(v):
+        return v.reshape(1, -1)
+
+    return _fused_call(
+        x,
+        row(params["ln1_g"]), row(params["ln1_b"]),
+        params["wqkv"], row(params["bqkv"]),
+        params["wproj"], row(params["bproj"]),
+        row(params["ln2_g"]), row(params["ln2_b"]),
+        params["w1"], row(params["b1"]),
+        params["w2"], row(params["b2"]),
+        num_heads=num_heads, window=window, block_q=block_q, eps=eps,
+        scale=scale, interpret=False,
+    )
+
+
+def _fused_block_fwd(x, params, num_heads, window, block_q, eps, scale):
+    out = _fused_block_tpu(x, params, num_heads, window, block_q, eps, scale)
+    return out, (x, params)
+
+
+def _fused_block_bwd(num_heads, window, block_q, eps, scale, res, g):
+    # pallas_call has no autodiff; recompute through the XLA reference
+    # (rematerialization — residuals are just the inputs). Required because
+    # UniGR training takes jax.grad over the full param tree even though
+    # the Hiera trunk is frozen (grads are zeroed by the optimizer mask).
+    x, params = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: _reference_block(
+            x_, p_, num_heads=num_heads, window=window, eps=eps, scale=scale
+        ),
+        x, params,
+    )
+    return vjp(g)
+
+
+_fused_block_tpu.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def fused_window_block(
+    x: jnp.ndarray,
+    params: dict,
+    *,
+    num_heads: int,
+    window: int,
+    eps: float = 1e-6,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused windowed transformer block over (B, L, D), window-major.
+
+    params: ln1_g, ln1_b (D,), wqkv (D,3D), bqkv (3D,), wproj (D,D),
+    bproj (D,), ln2_g, ln2_b (D,), w1 (D,F), b1 (F,), w2 (F,D), b2 (D,).
+    qkv column order is (q|k|v) x heads x head_dim — flax Dense + reshape
+    (L, 3, H, hd), the hiera.MultiScaleBlock convention.
+    """
+    b, l, d = x.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d // num_heads)
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or interpret):
+        return _reference_block(
+            x, params, num_heads=num_heads, window=window, eps=eps,
+            scale=scale,
+        )
+
+    block = block_q
+    while l % block != 0 or block % window != 0:
+        block //= 2
+        if block < window:
+            block = window
+            break
+
+    if interpret:
+        def row(v):
+            return v.reshape(1, -1)
+
+        return _fused_call(
+            x,
+            row(params["ln1_g"]), row(params["ln1_b"]),
+            params["wqkv"], row(params["bqkv"]),
+            params["wproj"], row(params["bproj"]),
+            row(params["ln2_g"]), row(params["ln2_b"]),
+            params["w1"], row(params["b1"]),
+            params["w2"], row(params["b2"]),
+            num_heads=num_heads, window=window, block_q=block, eps=eps,
+            scale=scale, interpret=True,
+        )
+    return _fused_block_tpu(x, params, num_heads, window, block, eps, scale)

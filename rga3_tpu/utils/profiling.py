@@ -37,6 +37,54 @@ def annotate(name: str) -> Iterator[None]:
         yield
 
 
+def device_timeit(
+    fn,
+    *args,
+    iters: int = 50,
+    repeats: int = 5,
+    perturb=None,
+):
+    """Time `fn(*args)` with the iteration loop ON DEVICE (lax.fori_loop),
+    so per-call dispatch latency cannot pollute the measurement. On this
+    environment's relayed TPU backend each host->device dispatch costs
+    ~1-4 ms — any op cheaper than ~10 ms measured with a host loop is
+    mostly dispatch noise.
+
+    The loop carries a scalar data dependency through every iteration
+    (sum of fn's first output leaf), so XLA cannot elide or reorder
+    iterations; `perturb(args, i)` (default: add i to the first arg)
+    varies the input per iteration so no caching is possible.
+
+    Returns best-of-`repeats` milliseconds per iteration.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if perturb is None:
+        def perturb(a, i):
+            return (a[0] + i.astype(a[0].dtype),) + tuple(a[1:])
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(args, n):
+        def body(i, acc):
+            out = fn(*perturb(args, i))
+            leaf = jax.tree.leaves(out)[0]
+            return acc + jnp.sum(leaf).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(np.asarray(loop(args, n=iters)))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(np.asarray(loop(args, n=iters)))  # host fetch = completion
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
 class StepTimer:
     """Rolling step timing (batch_time/data_time equivalent,
     ref train_joint.py:474-509) with simple percentile summaries."""
