@@ -65,13 +65,12 @@ class MultiScaleBlock(nn.Module):
         cfg = self.cfg
         ws = self.window_size
         if (
-            ws > 0
-            and not self.do_q_pool
+            not self.do_q_pool
             and self.dim == self.dim_out
             and cfg.use_fused_block
             and self.dim_out <= cfg.fused_block_max_dim
         ):
-            return self._fused(x)
+            return self._fused(x) if ws > 0 else self._fused_global(x)
         shortcut = x  # (B, H, W, C)
         normed = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
 
@@ -150,13 +149,10 @@ class MultiScaleBlock(nn.Module):
         out2 = nn.Dense(self.dim_out, name="mlp_layers_1")(hidden)
         return x + out2
 
-    def _fused(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Whole-block fused Pallas path (LN+attn+proj+LN+MLP in one
-        kernel, weights resident in VMEM). Parameters are declared through
-        the SAME submodules as the unfused path (dummy calls, DCE'd by
-        XLA), so the checkpoint tree is identical either way."""
-        from ...ops.fused_block import fused_window_block
-
+    def _block_params(self, x: jnp.ndarray) -> dict:
+        """Declare parameters through the SAME submodules as the unfused
+        path (dummy calls, DCE'd by XLA) so the checkpoint tree is
+        identical either way, and collect them for the fused kernels."""
         cfg = self.cfg
         d = self.dim_out
         z1 = jnp.zeros((1, self.dim), x.dtype)
@@ -177,7 +173,7 @@ class MultiScaleBlock(nn.Module):
         n1, n2 = g("norm1"), g("norm2")
         qkv, proj = g("attn_qkv"), g("attn_proj")
         m0, m1 = g("mlp_layers_0"), g("mlp_layers_1")
-        params = {
+        return {
             "ln1_g": n1["scale"], "ln1_b": n1["bias"],
             "wqkv": qkv["kernel"].astype(x.dtype),
             "bqkv": qkv["bias"],
@@ -187,6 +183,26 @@ class MultiScaleBlock(nn.Module):
             "w1": m0["kernel"].astype(x.dtype), "b1": m0["bias"],
             "w2": m1["kernel"].astype(x.dtype), "b2": m1["bias"],
         }
+
+    def _fused_global(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Global-attention block: Pallas LN+qkv prologue, flash attention,
+        Pallas proj+LN+MLP epilogue (full kv cannot sit in one VMEM
+        block, so attention stays a separate flash kernel)."""
+        from ...ops.fused_block import fused_global_block
+
+        params = self._block_params(x)
+        b, h, w, d = x.shape
+        tokens = x.reshape(b, h * w, d)
+        out = fused_global_block(tokens, params, num_heads=self.num_heads)
+        return out.reshape(b, h, w, d)
+
+    def _fused(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Whole-block fused Pallas path (LN+attn+proj+LN+MLP in one
+        kernel, weights resident in VMEM)."""
+        from ...ops.fused_block import fused_window_block
+
+        d = self.dim_out
+        params = self._block_params(x)
         ws = self.window_size
         b, h, w = x.shape[:3]
         attn_in, pad_hw = window_partition(x, ws)

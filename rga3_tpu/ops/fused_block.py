@@ -248,6 +248,232 @@ def _fused_block_bwd(num_heads, window, block_q, eps, scale, res, g):
 _fused_block_tpu.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Split fusion for GLOBAL-attention blocks: LN+qkv prologue and
+# proj+residual+LN+MLP epilogue around a full flash attention (whose kv
+# footprint cannot live in one VMEM block). Used by Hiera's 3 global
+# blocks (ref model/sam2.py:148-163 global_att_blocks).
+# ---------------------------------------------------------------------------
+
+
+def _ln_matmul_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *, eps):
+    xb = x_ref[0]
+    ln = _layernorm(
+        xb.astype(jnp.float32), g_ref[0].astype(jnp.float32),
+        b_ref[0].astype(jnp.float32), eps,
+    ).astype(xb.dtype)
+    o_ref[0] = (
+        jax.lax.dot(ln, w_ref[...], preferred_element_type=jnp.float32)
+        + bias_ref[0].astype(jnp.float32)
+    ).astype(xb.dtype)
+
+
+def _proj_mlp_kernel(
+    attn_ref, x_ref, wproj, bproj, ln2_g, ln2_b, w1, b1, w2, b2, o_ref,
+    *, eps: float,
+):
+    xb = x_ref[0]
+    proj = (
+        jax.lax.dot(
+            attn_ref[0], wproj[...], preferred_element_type=jnp.float32
+        )
+        + bproj[0].astype(jnp.float32)
+    ).astype(xb.dtype)
+    y = xb + proj
+    ln2 = _layernorm(
+        y.astype(jnp.float32), ln2_g[0].astype(jnp.float32),
+        ln2_b[0].astype(jnp.float32), eps,
+    ).astype(xb.dtype)
+    h1 = (
+        jax.lax.dot(ln2, w1[...], preferred_element_type=jnp.float32)
+        + b1[0].astype(jnp.float32)
+    ).astype(xb.dtype)
+    h1f = h1.astype(jnp.float32)
+    g = (
+        0.5 * h1f * (1.0 + _erf_poly(h1f * (1.0 / math.sqrt(2.0))))
+    ).astype(xb.dtype)
+    h2 = (
+        jax.lax.dot(g, w2[...], preferred_element_type=jnp.float32)
+        + b2[0].astype(jnp.float32)
+    ).astype(xb.dtype)
+    o_ref[0] = y + h2
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda b_, qi: tuple(0 for _ in shape))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "eps", "interpret")
+)
+def _ln_qkv_call(x, g, b, w, bias, *, block_q, eps, interpret):
+    bsz, l, d = x.shape
+    out_d = w.shape[1]
+    return pl.pallas_call(
+        functools.partial(_ln_matmul_kernel, eps=eps),
+        grid=(bsz, l // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0)),
+            _const_spec((1, d)), _const_spec((1, d)),
+            _const_spec((d, out_d)), _const_spec((1, out_d)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, out_d), lambda b_, qi: (b_, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, l, out_d), x.dtype),
+        interpret=interpret,
+    )(x, g, b, w, bias)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "eps", "interpret")
+)
+def _proj_mlp_call(
+    attn, x, wproj, bproj, ln2_g, ln2_b, w1, b1, w2, b2,
+    *, block_q, eps, interpret,
+):
+    bsz, l, d = x.shape
+    f = w1.shape[1]
+    tok = pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0))
+    return pl.pallas_call(
+        functools.partial(_proj_mlp_kernel, eps=eps),
+        grid=(bsz, l // block_q),
+        in_specs=[
+            tok, tok,
+            _const_spec((d, d)), _const_spec((1, d)),
+            _const_spec((1, d)), _const_spec((1, d)),
+            _const_spec((d, f)), _const_spec((1, f)),
+            _const_spec((f, d)), _const_spec((1, d)),
+        ],
+        out_specs=tok,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(attn, x, wproj, bproj, ln2_g, ln2_b, w1, b1, w2, b2)
+
+
+def _reference_global_block(x, p, *, num_heads, eps, scale):
+    """XLA mirror of the global-attention block (CPU fallback + vjp body)."""
+    b, l, d = x.shape
+
+    def ln(v, g, bb):
+        v32 = v.astype(jnp.float32)
+        mu = v32.mean(-1, keepdims=True)
+        var = ((v32 - mu) ** 2).mean(-1, keepdims=True)
+        return ((v32 - mu) / jnp.sqrt(var + eps) * g + bb).astype(v.dtype)
+
+    ln1 = ln(x, p["ln1_g"], p["ln1_b"])
+    qkv = ((ln1 @ p["wqkv"]).astype(jnp.float32) + p["bqkv"]).astype(x.dtype)
+    qkv = qkv.reshape(b, l, 3, num_heads, d // num_heads)
+    from .attention import mha_reference
+
+    attn = mha_reference(
+        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], scale=scale
+    ).reshape(b, l, d)
+    proj = ((attn @ p["wproj"]).astype(jnp.float32) + p["bproj"]).astype(
+        x.dtype
+    )
+    y = x + proj
+    ln2 = ln(y, p["ln2_g"], p["ln2_b"])
+    h1 = ((ln2 @ p["w1"]).astype(jnp.float32) + p["b1"]).astype(x.dtype)
+    g = jax.nn.gelu(h1, approximate=False)
+    h2 = ((g @ p["w2"]).astype(jnp.float32) + p["b2"]).astype(x.dtype)
+    return y + h2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _global_block_tpu(x, params, num_heads, block_q, eps, scale):
+    from .attention import flash_attention
+
+    b, l, d = x.shape
+
+    def row(v):
+        return v.reshape(1, -1)
+
+    qkv = _ln_qkv_call(
+        x, row(params["ln1_g"]), row(params["ln1_b"]),
+        params["wqkv"], row(params["bqkv"]),
+        block_q=block_q, eps=eps, interpret=False,
+    ).reshape(b, l, 3, num_heads, d // num_heads)
+    attn = flash_attention(
+        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], scale=scale
+    ).reshape(b, l, d)
+    return _proj_mlp_call(
+        attn, x, params["wproj"], row(params["bproj"]),
+        row(params["ln2_g"]), row(params["ln2_b"]),
+        params["w1"], row(params["b1"]),
+        params["w2"], row(params["b2"]),
+        block_q=block_q, eps=eps, interpret=False,
+    )
+
+
+def _global_block_fwd(x, params, num_heads, block_q, eps, scale):
+    return _global_block_tpu(x, params, num_heads, block_q, eps, scale), (
+        x, params,
+    )
+
+
+def _global_block_bwd(num_heads, block_q, eps, scale, res, g):
+    x, params = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: _reference_global_block(
+            x_, p_, num_heads=num_heads, eps=eps, scale=scale
+        ),
+        x, params,
+    )
+    return vjp(g)
+
+
+_global_block_tpu.defvjp(_global_block_fwd, _global_block_bwd)
+
+
+def fused_global_block(
+    x: jnp.ndarray,
+    params: dict,
+    *,
+    num_heads: int,
+    eps: float = 1e-6,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Global-attention transformer block: Pallas LN+qkv prologue, flash
+    attention, Pallas proj+LN+MLP epilogue. Same params dict as
+    fused_window_block."""
+    b, l, d = x.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d // num_heads)
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or interpret):
+        return _reference_global_block(
+            x, params, num_heads=num_heads, eps=eps, scale=scale
+        )
+    block = block_q
+    while l % block != 0:
+        block //= 2
+    if interpret:
+        def row(v):
+            return v.reshape(1, -1)
+
+        qkv = _ln_qkv_call(
+            x, row(params["ln1_g"]), row(params["ln1_b"]),
+            params["wqkv"], row(params["bqkv"]),
+            block_q=block, eps=eps, interpret=True,
+        ).reshape(b, l, 3, num_heads, d // num_heads)
+        from .attention import mha_reference
+
+        attn = mha_reference(
+            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], scale=scale
+        ).reshape(b, l, d)
+        return _proj_mlp_call(
+            attn, x, params["wproj"], row(params["bproj"]),
+            row(params["ln2_g"]), row(params["ln2_b"]),
+            params["w1"], row(params["b1"]),
+            params["w2"], row(params["b2"]),
+            block_q=block, eps=eps, interpret=True,
+        )
+    return _global_block_tpu(x, params, num_heads, block, eps, scale)
+
+
 def fused_window_block(
     x: jnp.ndarray,
     params: dict,

@@ -137,6 +137,56 @@ def test_fused_block_is_differentiable():
         assert np.isfinite(np.asarray(g[k])).all()
 
 
+def test_global_block_interpret_matches_reference():
+    from rga3_tpu.ops.fused_block import (
+        _reference_global_block,
+        fused_global_block,
+    )
+
+    rng = np.random.default_rng(4)
+    B, L, D, H = 2, 128, 64, 4
+    x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    p = _params(rng, D, 4 * D)
+    ref = _reference_global_block(
+        x, p, num_heads=H, eps=1e-6, scale=1 / np.sqrt(D // H)
+    )
+    got = fused_global_block(
+        x, p, num_heads=H, interpret=True, block_q=64
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_global_block_is_differentiable():
+    from rga3_tpu.ops.fused_block import (
+        _reference_global_block,
+        fused_global_block,
+    )
+
+    rng = np.random.default_rng(5)
+    B, L, D, H = 2, 64, 32, 2
+    x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    p = _params(rng, D, 4 * D)
+
+    g = jax.grad(
+        lambda p, x: jnp.sum(
+            fused_global_block(x, p, num_heads=H) ** 2
+        )
+    )(p, x)
+    gr = jax.grad(
+        lambda p, x: jnp.sum(
+            _reference_global_block(
+                x, p, num_heads=H, eps=1e-6, scale=1 / np.sqrt(D // H)
+            ) ** 2
+        )
+    )(p, x)
+    for k in p:
+        np.testing.assert_allclose(
+            np.asarray(g[k]), np.asarray(gr[k]), rtol=1e-3, atol=1e-3
+        )
+
+
 def test_polynomial_erf_accuracy():
     from rga3_tpu.ops.fused_block import _erf_poly
 
