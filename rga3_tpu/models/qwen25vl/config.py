@@ -73,6 +73,11 @@ class QwenTextConfig(ConfigBase):
     # under "layers_scan" with a leading layer axis (see
     # loader.stack_qwen_layers)
     scan_layers: bool = False
+    # int8 weight-only inference (the reference's optional bitsandbytes
+    # path, ref inference_mevis.py:70-93). Dense kernels become
+    # {kernel_q int8, scale f32}; convert trees with
+    # ops.quant.quantize_qwen_params.
+    quant_int8: bool = False
 
 
 @dataclass(frozen=True)

@@ -53,6 +53,59 @@ def make_kv_cache(
     }
 
 
+class QuantDense(nn.Module):
+    """Weight-only int8 Dense (ops.quant layout): int8 kernel in HBM,
+    dequantized in-register with a per-output-channel scale. Halves the
+    weight bytes that bound KV-cached decode."""
+
+    features: int
+    use_bias: bool = False
+    kernel_axes: Tuple[str, ...] = ()
+
+    @nn.compact
+    def __call__(self, x):
+        wq = self.param(
+            "kernel_q",
+            nn.with_logical_partitioning(
+                nn.initializers.zeros, self.kernel_axes
+            ),
+            (x.shape[-1], self.features),
+            jnp.int8,
+        )
+        scale = self.param(
+            "scale",
+            nn.with_logical_partitioning(
+                nn.initializers.ones, self.kernel_axes[-1:]
+            ),
+            (self.features,),
+            jnp.float32,
+        )
+        y = (x @ wq.astype(x.dtype)) * scale.astype(x.dtype)
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + b.astype(x.dtype)
+        return y
+
+
+def _dense_or_quant(cfg, name, features, use_bias, kernel_axes, dtype):
+    if cfg.quant_int8:
+        return QuantDense(
+            features, use_bias=use_bias, kernel_axes=kernel_axes, name=name
+        )
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        name=name,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.with_logical_partitioning(
+            nn.initializers.lecun_normal(), kernel_axes
+        ),
+    )
+
+
 class Attention(nn.Module):
     cfg: QwenTextConfig
 
@@ -73,15 +126,8 @@ class Attention(nn.Module):
         )
 
         def dense(name, features, use_bias, kernel_axes):
-            return nn.Dense(
-                features,
-                use_bias=use_bias,
-                name=name,
-                dtype=x.dtype,
-                param_dtype=jnp.float32,
-                kernel_init=nn.with_logical_partitioning(
-                    nn.initializers.lecun_normal(), kernel_axes
-                ),
+            return _dense_or_quant(
+                cfg, name, features, use_bias, kernel_axes, x.dtype
             )
 
         def lora(name, features, base):
@@ -161,15 +207,8 @@ class MLP(nn.Module):
         cfg = self.cfg
 
         def dense(name, features, kernel_axes):
-            return nn.Dense(
-                features,
-                use_bias=False,
-                name=name,
-                dtype=x.dtype,
-                param_dtype=jnp.float32,
-                kernel_init=nn.with_logical_partitioning(
-                    nn.initializers.lecun_normal(), kernel_axes
-                ),
+            return _dense_or_quant(
+                cfg, name, features, False, kernel_axes, x.dtype
             )
 
         gate = dense("gate_proj", cfg.intermediate_size, ("embed", "mlp"))(x)
@@ -313,15 +352,22 @@ class QwenForCausalLM(nn.Module):
         )
         self.model = QwenLM(self.cfg, remat=self.remat, name="model")
         if not self.cfg.tie_word_embeddings:
-            self.lm_head = nn.Dense(
-                self.cfg.vocab_size,
-                use_bias=False,
-                param_dtype=jnp.float32,
-                kernel_init=nn.with_logical_partitioning(
-                    nn.initializers.lecun_normal(), ("embed", "vocab")
-                ),
-                name="lm_head",
-            )
+            if self.cfg.quant_int8:
+                self.lm_head = QuantDense(
+                    self.cfg.vocab_size,
+                    kernel_axes=("embed", "vocab"),
+                    name="lm_head",
+                )
+            else:
+                self.lm_head = nn.Dense(
+                    self.cfg.vocab_size,
+                    use_bias=False,
+                    param_dtype=jnp.float32,
+                    kernel_init=nn.with_logical_partitioning(
+                        nn.initializers.lecun_normal(), ("embed", "vocab")
+                    ),
+                    name="lm_head",
+                )
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         return self.embed_tokens(input_ids)

@@ -27,6 +27,10 @@ def main():
     p.add_argument("--prefill", type=int, default=512)
     p.add_argument("--decode", type=int, default=64)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument(
+        "--int8", action="store_true",
+        help="weight-only int8 (ops.quant): halves weight HBM traffic",
+    )
     args = p.parse_args()
 
     import jax
@@ -45,8 +49,10 @@ def main():
         "3b": QWEN25_VL_3B,
         "7b": QWEN25_VL_7B,
     }[args.size]
-    cfg = qcfg.text.replace(scan_layers=True)
+    cfg = qcfg.text.replace(scan_layers=True, quant_int8=args.int8)
     model = QwenForCausalLM(cfg)
+    init_cfg = cfg.replace(quant_int8=False)
+    init_model = QwenForCausalLM(init_cfg) if args.int8 else model
 
     rng = np.random.default_rng(0)
     B, L, D = args.batch, args.prefill, args.decode
@@ -56,19 +62,24 @@ def main():
 
     key = jax.random.PRNGKey(0)
     shapes = jax.eval_shape(
-        lambda k: model.init(k, input_ids=ids), key
+        lambda k: init_model.init(k, input_ids=ids), key
     )
 
     @jax.jit
     def make_params(k):
         from flax.core import meta
 
-        return jax.tree.map(
+        fp = jax.tree.map(
             lambda s: (jax.random.normal(k, s.shape) * 0.02).astype(
                 jnp.bfloat16
             ),
             meta.unbox(shapes),
         )
+        if args.int8:
+            from rga3_tpu.ops.quant import quantize_qwen_params
+
+            return {"params": quantize_qwen_params(fp["params"])}
+        return fp
 
     t0 = time.time()
     params = make_params(key)
