@@ -30,6 +30,15 @@ def main():
     from rga3_tpu.models.sam2.model import Sam2Model
 
     cfg = SAM2_HIERA_L
+    bq = os.environ.get("RGA3_FUSED_BLOCK_Q_SMALL")
+    if bq:  # kernel-tuning experiments only; default is the tuned value
+        cfg = cfg.replace(
+            hiera=cfg.hiera.replace(fused_block_q_small=int(bq))
+        )
+    if os.environ.get("RGA3_NO_SPLIT"):  # A/B the stage-4 split fusion
+        cfg = cfg.replace(
+            hiera=cfg.hiera.replace(use_split_fused_block=False)
+        )
     model = Sam2Model(cfg)
     rng = np.random.default_rng(0)
 

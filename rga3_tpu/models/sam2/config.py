@@ -37,6 +37,14 @@ class HieraConfig(ConfigBase):
     # dim <= fused_block_max_dim so weights stay resident in ~16MB VMEM).
     use_fused_block: bool = True
     fused_block_max_dim: int = 576
+    # block_q for fused blocks whose window < 256 tokens (stages 1/2):
+    # balances masked-attention FLOP waste (grows with block) against MXU
+    # fill (shrinks with block). A/B-tuned on v5e.
+    fused_block_q_small: int = 512
+    # split fusion (prologue/attention/epilogue kernels with an F-blocked
+    # MLP) for windowed blocks wider than fused_block_max_dim (stage 4,
+    # D=1152, whose 32 MB of weights cannot stay VMEM-resident)
+    use_split_fused_block: bool = True
 
     @property
     def depth(self) -> int:

@@ -68,9 +68,11 @@ class MultiScaleBlock(nn.Module):
             not self.do_q_pool
             and self.dim == self.dim_out
             and cfg.use_fused_block
-            and self.dim_out <= cfg.fused_block_max_dim
         ):
-            return self._fused(x) if ws > 0 else self._fused_global(x)
+            if self.dim_out <= cfg.fused_block_max_dim:
+                return self._fused(x) if ws > 0 else self._fused_global(x)
+            if ws > 0 and cfg.use_split_fused_block:
+                return self._fused(x, split=True)
         shortcut = x  # (B, H, W, C)
         normed = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
 
@@ -196,10 +198,13 @@ class MultiScaleBlock(nn.Module):
         out = fused_global_block(tokens, params, num_heads=self.num_heads)
         return out.reshape(b, h, w, d)
 
-    def _fused(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _fused(self, x: jnp.ndarray, split: bool = False) -> jnp.ndarray:
         """Whole-block fused Pallas path (LN+attn+proj+LN+MLP in one
-        kernel, weights resident in VMEM)."""
-        from ...ops.fused_block import fused_window_block
+        kernel, weights resident in VMEM); `split=True` uses the
+        multi-kernel variant for dims whose weights exceed VMEM."""
+        from ...ops.fused_block import (
+            fused_window_block, fused_window_block_split,
+        )
 
         d = self.dim_out
         params = self._block_params(x)
@@ -209,12 +214,21 @@ class MultiScaleBlock(nn.Module):
         n_win = attn_in.shape[0] // b
         tokens = attn_in.reshape(b, n_win * ws * ws, d)
         window = ws * ws
-        # block == window is mask-free; larger windows already fill the MXU
-        block_q = window if window >= 256 else 512
-        out = fused_window_block(
-            tokens, params, num_heads=self.num_heads, window=window,
-            block_q=block_q,
-        )
+        if split:
+            # blocks sized for the 16 MB scoped-vmem limit at D=1152
+            out = fused_window_block_split(
+                tokens, params, num_heads=self.num_heads, window=window,
+            )
+        else:
+            # block == window is mask-free; larger windows already fill
+            # the MXU
+            block_q = (
+                window if window >= 256 else self.cfg.fused_block_q_small
+            )
+            out = fused_window_block(
+                tokens, params, num_heads=self.num_heads, window=window,
+                block_q=block_q,
+            )
         out = out.reshape(b * n_win, ws, ws, d)
         return window_unpartition(out, ws, pad_hw, (h, w))
 

@@ -300,7 +300,7 @@ def _proj_mlp_kernel(
 
 
 def _const_spec(shape):
-    return pl.BlockSpec(shape, lambda b_, qi: tuple(0 for _ in shape))
+    return pl.BlockSpec(shape, lambda *_: tuple(0 for _ in shape))
 
 
 @functools.partial(
@@ -472,6 +472,231 @@ def fused_global_block(
             block_q=block, eps=eps, interpret=True,
         )
     return _global_block_tpu(x, params, num_heads, block, eps, scale)
+
+
+# ---------------------------------------------------------------------------
+# Split fusion for WIDE windowed blocks (Hiera stage 4, D=1152): the full
+# fused kernel cannot hold 32 MB of weights in VMEM, so the block runs as
+# Pallas LN+qkv prologue -> block-diagonal window-attention kernel ->
+# Pallas proj+residual+LN kernel -> Pallas MLP kernel blocked over the
+# hidden dim with on-chip f32 accumulation.
+# ---------------------------------------------------------------------------
+
+
+def _proj_ln_kernel(
+    attn_ref, x_ref, wproj, bproj, ln2_g, ln2_b, y_ref, ln2y_ref, *, eps
+):
+    xb = x_ref[0]
+    proj = (
+        jax.lax.dot(
+            attn_ref[0], wproj[...], preferred_element_type=jnp.float32
+        )
+        + bproj[0].astype(jnp.float32)
+    ).astype(xb.dtype)
+    y = xb + proj
+    y_ref[0] = y
+    ln2y_ref[0] = _layernorm(
+        y.astype(jnp.float32), ln2_g[0].astype(jnp.float32),
+        ln2_b[0].astype(jnp.float32), eps,
+    ).astype(xb.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "eps", "interpret"))
+def _proj_ln_call(attn, x, wproj, bproj, ln2_g, ln2_b, *, block_q, eps,
+                  interpret):
+    bsz, l, d = x.shape
+    tok = pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0))
+    return pl.pallas_call(
+        functools.partial(_proj_ln_kernel, eps=eps),
+        grid=(bsz, l // block_q),
+        in_specs=[
+            tok, tok,
+            _const_spec((d, d)), _const_spec((1, d)),
+            _const_spec((1, d)), _const_spec((1, d)),
+        ],
+        out_specs=[tok, tok],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+        ],
+        interpret=interpret,
+    )(attn, x, wproj, bproj, ln2_g, ln2_b)
+
+
+def _mlp_blocked_kernel(ln2y_ref, y_ref, w1, b1, w2, b2, o_ref):
+    """Grid (B, L/bq, F/bf), hidden-dim blocks innermost; o (f32) is
+    revisited across f and accumulated in VMEM."""
+    f = pl.program_id(2)
+    h1 = (
+        jax.lax.dot(ln2y_ref[0], w1[...], preferred_element_type=jnp.float32)
+        + b1[0].astype(jnp.float32)
+    ).astype(ln2y_ref.dtype)
+    h1f = h1.astype(jnp.float32)
+    g = (
+        0.5 * h1f * (1.0 + _erf_poly(h1f * (1.0 / math.sqrt(2.0))))
+    ).astype(ln2y_ref.dtype)
+    part = jax.lax.dot(g, w2[...], preferred_element_type=jnp.float32)
+
+    @pl.when(f == 0)
+    def _():
+        o_ref[0] = (
+            y_ref[0].astype(jnp.float32) + b2[0].astype(jnp.float32) + part
+        )
+
+    @pl.when(f != 0)
+    def _():
+        o_ref[0] += part
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_f", "interpret")
+)
+def _mlp_blocked_call(ln2y, y, w1, b1, w2, b2, *, block_q, block_f,
+                      interpret):
+    bsz, l, d = y.shape
+    fdim = w1.shape[1]
+    tok = pl.BlockSpec((1, block_q, d), lambda b_, qi, f: (b_, qi, 0))
+    out = pl.pallas_call(
+        _mlp_blocked_kernel,
+        grid=(bsz, l // block_q, fdim // block_f),
+        in_specs=[
+            tok, tok,
+            pl.BlockSpec((d, block_f), lambda b_, qi, f: (0, f)),
+            pl.BlockSpec((1, block_f), lambda b_, qi, f: (0, f)),
+            pl.BlockSpec((block_f, d), lambda b_, qi, f: (f, 0)),
+            _const_spec((1, d)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda b_, qi, f: (b_, qi, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, l, d), jnp.float32),
+        interpret=interpret,
+    )(ln2y, y, w1, b1, w2, b2)
+    return out.astype(y.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _split_window_block_tpu(
+    x, params, num_heads, window, block_q, block_f, eps, scale
+):
+    from .attention import window_attention
+
+    b, l, d = x.shape
+
+    def row(v):
+        return v.reshape(1, -1)
+
+    qkv = _ln_qkv_call(
+        x, row(params["ln1_g"]), row(params["ln1_b"]),
+        params["wqkv"], row(params["bqkv"]),
+        block_q=block_q, eps=eps, interpret=False,
+    ).reshape(b, l, 3, num_heads, d // num_heads)
+    attn = window_attention(
+        qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], window, scale=scale
+    ).reshape(b, l, d)
+    y, ln2y = _proj_ln_call(
+        attn, x, params["wproj"], row(params["bproj"]),
+        row(params["ln2_g"]), row(params["ln2_b"]),
+        block_q=block_q, eps=eps, interpret=False,
+    )
+    return _mlp_blocked_call(
+        ln2y, y, params["w1"], row(params["b1"]),
+        params["w2"], row(params["b2"]),
+        block_q=block_q, block_f=block_f, interpret=False,
+    )
+
+
+def _split_window_block_fwd(
+    x, params, num_heads, window, block_q, block_f, eps, scale
+):
+    out = _split_window_block_tpu(
+        x, params, num_heads, window, block_q, block_f, eps, scale
+    )
+    return out, (x, params)
+
+
+def _split_window_block_bwd(
+    num_heads, window, block_q, block_f, eps, scale, res, g
+):
+    x, params = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: _reference_block(
+            x_, p_, num_heads=num_heads, window=window, eps=eps, scale=scale
+        ),
+        x, params,
+    )
+    return vjp(g)
+
+
+_split_window_block_tpu.defvjp(_split_window_block_fwd,
+                               _split_window_block_bwd)
+
+
+def fused_window_block_split(
+    x: jnp.ndarray,
+    params: dict,
+    *,
+    num_heads: int,
+    window: int,
+    eps: float = 1e-6,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_f: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed transformer block for dims whose weights exceed VMEM (same
+    params dict and layout contract as fused_window_block).
+
+    Default blocks sized for D=1152 under the 16 MB scoped-vmem limit with
+    Mosaic's input double-buffering: w1/w2 f-blocks stream (2x 1.2 MB each
+    buffered twice), token blocks 0.6 MB, f32 accumulator 1.2 MB. block_f
+    must be a multiple of 128 (Mosaic lane-dim divisibility)."""
+    b, l, d = x.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d // num_heads)
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or interpret):
+        return _reference_block(
+            x, params, num_heads=num_heads, window=window, eps=eps,
+            scale=scale,
+        )
+    block = block_q
+    while l % block != 0 or block % window != 0:
+        block //= 2
+        if block < window:
+            block = window
+            break
+    fdim = params["w1"].shape[1]
+    bf = block_f
+    while fdim % bf != 0:
+        bf //= 2
+    if interpret:
+        def row(v):
+            return v.reshape(1, -1)
+
+        from .attention import window_reference
+
+        qkv = _ln_qkv_call(
+            x, row(params["ln1_g"]), row(params["ln1_b"]),
+            params["wqkv"], row(params["bqkv"]),
+            block_q=block, eps=eps, interpret=True,
+        ).reshape(b, l, 3, num_heads, d // num_heads)
+        attn = window_reference(
+            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], window, scale
+        ).reshape(b, l, d)
+        y, ln2y = _proj_ln_call(
+            attn, x, params["wproj"], row(params["bproj"]),
+            row(params["ln2_g"]), row(params["ln2_b"]),
+            block_q=block, eps=eps, interpret=True,
+        )
+        return _mlp_blocked_call(
+            ln2y, y, params["w1"], row(params["b1"]),
+            params["w2"], row(params["b2"]),
+            block_q=block, block_f=bf, interpret=True,
+        )
+    return _split_window_block_tpu(
+        x, params, num_heads, window, block, bf, eps, scale
+    )
 
 
 def fused_window_block(

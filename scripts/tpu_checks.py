@@ -144,6 +144,28 @@ def main():
     for kk in p:
         close(f"grad {kk}", gf[kk], gr[kk], 1e-2)
 
+    # ---- split window block (wide-dim path: blocked-MLP accumulation) ----
+    from rga3_tpu.ops.fused_block import fused_window_block_split
+
+    print("fused_window_block_split:")
+    close(
+        "forward",
+        fused_window_block_split(
+            x, p, num_heads=H, window=W, block_q=256, block_f=128
+        ),
+        ref_fn(x, p), 1e-2,
+    )
+    gf = jax.jit(jax.grad(
+        lambda p, x: jnp.sum(
+            fused_window_block_split(
+                x, p, num_heads=H, window=W, block_q=256, block_f=128
+            ) ** 2
+        )
+    ))(p, x)
+    gr = jax.jit(jax.grad(lambda p, x: jnp.sum(ref_fn(x, p) ** 2)))(p, x)
+    for kk in p:
+        close(f"grad {kk}", gf[kk], gr[kk], 1e-2)
+
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
