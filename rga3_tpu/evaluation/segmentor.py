@@ -85,16 +85,34 @@ class UniGRSegmentor:
             )
             return gather_seg_embeddings(projected, input_ids, seg_id)
 
-        @jax.jit
-        def _sam_decode(params, frames, lang):
-            return model.apply(
-                params, frames, lang, True, False,
-                method=lambda m, fr, le, mm, tr: (
-                    m.grounding_encoder.decode_frames_with_language(
-                        fr, le, multimask_output=mm, training=tr
-                    )
-                ),
-            )["high_res_masks"]
+        from ..models.unigr.legacy import UniGRLegacy
+
+        self._legacy = isinstance(model, UniGRLegacy)
+        if self._legacy:
+            # SAM-v1 backbone (ref model/qwen_2_5_vl.py:236-268): language
+            # prompt, single-mask output, low-res logits upscaled by the
+            # caller
+            @jax.jit
+            def _sam_decode(params, frames, lang):
+                return model.apply(
+                    params, frames, lang,
+                    method=lambda m, fr, le: (
+                        m.sam_model.decode_frames_with_language(
+                            fr, le, multimask_output=False
+                        )
+                    ),
+                )["low_res_masks"]
+        else:
+            @jax.jit
+            def _sam_decode(params, frames, lang):
+                return model.apply(
+                    params, frames, lang, True, False,
+                    method=lambda m, fr, le, mm, tr: (
+                        m.grounding_encoder.decode_frames_with_language(
+                            fr, le, multimask_output=mm, training=tr
+                        )
+                    ),
+                )["high_res_masks"]
 
         self._llm_seg = _llm_seg
         self._sam_decode = _sam_decode
@@ -130,7 +148,10 @@ class UniGRSegmentor:
         la = layout_device_args(layout, self.model.cfg.qwen.vision)
 
         # run LLM once to get the [SEG] embedding, then chunk SAM frames
-        sam_size = self.model.cfg.sam2.image_size
+        sam_cfg = (
+            self.model.cfg.sam1 if self._legacy else self.model.cfg.sam2
+        )
+        sam_size = sam_cfg.image_size
         out_masks = np.zeros((t_all, h, w), bool)
         seg_emb, has_seg = self._llm_seg(
             self.params,

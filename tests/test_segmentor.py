@@ -56,3 +56,45 @@ def test_segment_video_shapes_and_chunking(segmentor):
     masks = segmentor.segment_video(frames, "the moving thing")
     assert masks.shape == (3, 50, 70)
     assert masks.dtype == bool
+
+
+@pytest.fixture(scope="module")
+def legacy_segmentor():
+    from rga3_tpu.models.sam1 import tiny_sam1_config
+    from rga3_tpu.models.unigr.legacy import UniGRLegacy, UniGRLegacyConfig
+
+    qcfg = tiny_config(vocab_size=152_000)
+    scfg = tiny_sam1_config(image_size=64)
+    cfg = UniGRLegacyConfig(
+        qwen=qcfg, sam1=scfg,
+        seg=SegHeadConfig(out_dim=scfg.d_model, seg_token_id=SEG_ID),
+    )
+    model = UniGRLegacy(cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 1000, (1, 8)).astype(np.int32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32)),
+        jnp.zeros((2, 1, scfg.d_model), jnp.float32),
+        jnp.asarray(ids),
+    )
+    proc = QwenVLProcessor(
+        DummyTokenizer(), min_pixels=4 * 28 * 28, max_pixels=16 * 28 * 28,
+        video_max_pixels=16 * 28 * 28,
+    )
+    return UniGRSegmentor(
+        model, params, proc, num_frames_mllm=2, sam_chunk=2,
+        compute_dtype=jnp.float32,
+    )
+
+
+def test_segment_video_legacy_backbone(legacy_segmentor):
+    """The same eval driver runs the SAM-v1 legacy composite
+    (ref model/qwen_2_5_vl.py evaluate path)."""
+    rng = np.random.default_rng(2)
+    frames = [
+        rng.integers(0, 255, (40, 60, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    masks = legacy_segmentor.segment_video(frames, "the red car")
+    assert masks.shape == (3, 40, 60)
+    assert masks.dtype == bool
