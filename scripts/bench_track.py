@@ -1,0 +1,100 @@
+"""SAM2 memory-propagated tracking throughput on one TPU chip.
+
+This is the reference's own recorded workload: `propagate_in_video` with
+memory attention over <=7 mask memories + <=16 object pointers per frame
+(upstream comment records 27 fps for the 768² model tracking one object;
+ref model/sam2.py:3783-3785). We run the FULL Hiera-L at 1024² — more
+work per frame than the baseline — with the tracker as one jitted
+lax.scan (rga3_tpu.models.sam2.video.track_video).
+
+  python scripts/bench_track.py --frames 32
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+BASELINE_FPS = 27.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--samples", type=int, default=5)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rga3_tpu.models.sam2 import SAM2_HIERA_L
+    from rga3_tpu.models.sam2.model import Sam2Model
+    from rga3_tpu.models.sam2.video import track_video
+
+    cfg = SAM2_HIERA_L
+    model = Sam2Model(cfg)
+    rng = np.random.default_rng(0)
+    T = args.frames
+
+    frames = jnp.asarray(
+        rng.normal(size=(T, cfg.image_size, cfg.image_size, 3)).astype(
+            np.float32
+        ),
+        dtype=jnp.bfloat16,
+    )
+    lang = jnp.asarray(
+        rng.normal(size=(1, 1, cfg.d_model)).astype(np.float32),
+        dtype=jnp.bfloat16,
+    )
+
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k, frames[:1], lang,
+        ),
+        jax.random.PRNGKey(0),
+    )
+
+    @jax.jit
+    def make_params(k):
+        return jax.tree.map(
+            lambda s: (jax.random.normal(k, s.shape) * 0.02).astype(
+                jnp.bfloat16
+            ),
+            shapes,
+        )
+
+    params = make_params(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    @jax.jit
+    def run(params, fr, le):
+        out = track_video(model, params, fr, language_embd=le)
+        return jnp.sum(out["high_res_masks"].astype(jnp.float32))
+
+    t0 = time.perf_counter()
+    float(np.asarray(run(params, frames, lang)))  # compile + first run
+    print(f"# compile+first {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    def sample() -> float:
+        t0 = time.perf_counter()
+        float(np.asarray(run(params, frames + 1, lang)))
+        return T / (time.perf_counter() - t0)
+
+    fps = max(sample() for _ in range(args.samples))
+    print(json.dumps({
+        "metric": "sam2_hiera_l_1024_memory_tracking_throughput",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -236,3 +236,29 @@ def test_vit_h_full_parity():
     np.testing.assert_allclose(
         np.asarray(out_j).transpose(0, 3, 1, 2), out_t, rtol=5e-3, atol=5e-3
     )
+
+
+def test_batch_scanned_global_attention_matches_per_sample():
+    """The lax.map batch scan (memory-bounding path for >=1024-token
+    global blocks) must match unscanned per-sample attention."""
+    from rga3_tpu.models.sam1.config import tiny_sam1_config
+    from rga3_tpu.models.sam1.vit import Sam1Attention
+
+    cfg = tiny_sam1_config()
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 32)).astype(np.float32))
+    attn = Sam1Attention(cfg, input_size=32)
+    p = attn.init(jax.random.PRNGKey(0), x)
+    p = jax.tree.map(
+        lambda a: jnp.asarray(
+            rng.normal(size=a.shape, scale=0.05).astype(np.float32)
+        ),
+        p,
+    )
+    out_mapped = attn.apply(p, x)
+    out_single = jnp.concatenate(
+        [attn.apply(p, x[i : i + 1]) for i in range(2)], 0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_mapped), np.asarray(out_single), rtol=1e-5, atol=1e-5
+    )
