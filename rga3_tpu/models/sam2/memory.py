@@ -74,18 +74,41 @@ class RoPEAttention(nn.Module):
             k_rope = apply_rotary_interleaved(k_rope, cos_k, sin_k)
             kh = jnp.concatenate([k_rope, kh[:, :, num_k_rope:]], axis=2)
 
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", qh.astype(jnp.float32), kh.astype(jnp.float32)
-        ) / math.sqrt(hd)
-        if k_valid is not None:
-            logits = jnp.where(
-                k_valid[:, None, None, :], logits, -1e30
+        if jax.default_backend() == "tpu" and lk >= 1024:
+            # flash kernel: no O(Lq*Lk) f32 logits in HBM (the 4096 x ~28.8k
+            # cross-attention would otherwise materialize ~470 MB per
+            # layer). Key validity rides the kv segment ids (q seg 1
+            # matches only kv seg 1).
+            from ...ops.attention import flash_attention
+
+            q_seg = jnp.ones((b, lq), jnp.int32)
+            kv_seg = (
+                k_valid.astype(jnp.int32)
+                if k_valid is not None
+                else jnp.ones((b, lk), jnp.int32)
             )
-        probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, vh.astype(jnp.float32)
-        ).astype(q.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(b, lq, d)
+            out = flash_attention(
+                qh.transpose(0, 2, 1, 3),
+                kh.transpose(0, 2, 1, 3),
+                vh.transpose(0, 2, 1, 3),
+                segment_ids=q_seg,
+                kv_segment_ids=kv_seg,
+                scale=1.0 / math.sqrt(hd),
+            ).reshape(b, lq, d)
+        else:
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh.astype(jnp.float32),
+                kh.astype(jnp.float32),
+            ) / math.sqrt(hd)
+            if k_valid is not None:
+                logits = jnp.where(
+                    k_valid[:, None, None, :], logits, -1e30
+                )
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs, vh.astype(jnp.float32)
+            ).astype(q.dtype)
+            out = out.transpose(0, 2, 1, 3).reshape(b, lq, d)
         return nn.Dense(d, name="out_proj")(out)
 
 

@@ -504,6 +504,11 @@ def flash_attention(
             kv_segment_ids if kv_segment_ids is not None else segment_ids
         ).astype(jnp.int32)
 
+    if d > 128 and q.dtype == jnp.float32:
+        # wide heads with f32 inputs overflow the 16MB scoped VMEM at
+        # 1024-blocks (measured 16.57M at d=256); halve the tiles
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 512)
     block_q = _pick_block(block_q, lq)
     block_k = _pick_block(block_k, lk)
 

@@ -144,6 +144,29 @@ def main():
     for kk in p:
         close(f"grad {kk}", gf[kk], gr[kk], 1e-2)
 
+    # ---- cross attention, memory-attention shape (Lq != Lk, hd 256,
+    # kv-validity as segment ids — models/sam2/memory.py flash path) ----
+    print("flash cross-attention (memory bank shape):")
+    B2, LQ, LK, HD = 1, 4096, 4096 * 7 + 64, 256
+    # bf16 like the model path; f32 at this width auto-halves the tiles
+    q = jnp.asarray(rng.normal(size=(B2, LQ, 1, HD)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B2, LK, 1, HD)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B2, LK, 1, HD)), jnp.bfloat16)
+    kv_valid = jnp.asarray(
+        (rng.random((B2, LK)) > 0.3).astype(np.int32)
+    )
+    q_seg = jnp.ones((B2, LQ), jnp.int32)
+    close(
+        "forward",
+        flash_attention(
+            q, k, v, segment_ids=q_seg, kv_segment_ids=kv_valid
+        ),
+        mha_reference(
+            q, k, v, segment_ids=q_seg, kv_segment_ids=kv_valid
+        ),
+        1e-2,
+    )
+
     # ---- split window block (wide-dim path: blocked-MLP accumulation) ----
     from rga3_tpu.ops.fused_block import fused_window_block_split
 
