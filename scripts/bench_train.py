@@ -1,0 +1,158 @@
+"""UniGR train-step throughput on one TPU chip.
+
+The reference trains 7B with LoRA on 16x H800-80GB (ref run_torchrun.sh);
+one v5e-1 (16 GB) fits a 3B-scale composite step: Qwen 3B (scan_layers +
+remat, LoRA r8) + SAM2 Hiera-L at full 1024² SAM frames, bf16 params,
+masked AdamW (frozen params get set_to_zero, so optimizer state is
+LoRA/head-only). Prints JSON with samples/sec and step time.
+
+  python scripts/bench_train.py --seq 512 --sam-frames 2
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", choices=["tiny", "3b"], default="3b")
+    p.add_argument("--seq", type=int, default=512)
+    p.add_argument("--sam-frames", type=int, default=2)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--steps", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rga3_tpu.config import SegHeadConfig, TrainConfig
+    from rga3_tpu.models.qwen25vl import QWEN25_VL_3B, tiny_config
+    from rga3_tpu.models.sam2 import SAM2_HIERA_L, tiny_sam2_config
+    from rga3_tpu.models.unigr import UniGR, UniGRConfig
+    from rga3_tpu.train.step import build_train_step, make_train_state
+
+    SEG = 151665
+    if args.size == "3b":
+        qcfg = QWEN25_VL_3B
+        scfg = SAM2_HIERA_L
+        out_dim = scfg.d_model
+    else:
+        qcfg = tiny_config(vocab_size=152_000)
+        scfg = tiny_sam2_config(image_size=64).replace(d_model=32)
+        out_dim = 32
+    qcfg = qcfg.replace(
+        text=qcfg.text.replace(
+            lora_rank=8, lora_alpha=16.0, scan_layers=True
+        )
+    )
+    cfg = UniGRConfig(
+        qwen=qcfg, sam2=scfg,
+        seg=SegHeadConfig(
+            out_dim=out_dim, seg_token_id=SEG,
+            ce_loss_weight=1.0, bce_loss_weight=2.0, dice_loss_weight=0.5,
+        ),
+    )
+    model = UniGR(cfg, remat=True)
+
+    rng = np.random.default_rng(0)
+    B, L, T = args.batch, args.seq, args.sam_frames
+    S = scfg.image_size
+    ids = rng.integers(0, 10_000, size=(B, L)).astype(np.int32)
+    ids[:, L // 2] = SEG
+    labels = ids.copy()
+    labels[:, : L // 4] = -100
+    pos = np.broadcast_to(
+        np.arange(L)[None, None], (3, B, L)
+    ).astype(np.int32).copy()
+    images_sam = jnp.asarray(
+        rng.normal(size=(B, T, S, S, 3)).astype(np.float32), jnp.bfloat16
+    )
+    gt = jnp.asarray(
+        (rng.random((B, T, S, S)) > 0.5).astype(np.float32), jnp.bfloat16
+    )
+
+    # init shapes without compiling; bf16 random params on device
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k,
+            jnp.zeros((1, S, S, 3), jnp.bfloat16),
+            jnp.zeros((1, 1, out_dim), jnp.bfloat16),
+            jnp.asarray(ids[:1, :8]),
+        ),
+        jax.random.PRNGKey(0),
+    )
+    from flax.core import meta
+
+    @jax.jit
+    def make_params(k):
+        return jax.tree.map(
+            lambda s: (jax.random.normal(k, s.shape) * 0.02).astype(
+                jnp.bfloat16
+            ),
+            meta.unbox(shapes),
+        )
+
+    t0 = time.time()
+    params = make_params(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    print(f"# params ready in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    tcfg = TrainConfig(grad_accum_steps=1)
+    state, tx = make_train_state(tcfg, params, mesh=None)
+
+    def loss_fn(p, batch):
+        return model.apply(
+            p,
+            batch["input_ids"], batch["labels"], batch["position_ids"],
+            None, batch["images_sam"], batch["gt_masks"],
+            jnp.ones((B,)),
+            compute_dtype=jnp.bfloat16,
+            method=UniGR.train_forward,
+        )
+
+    step = build_train_step(loss_fn, tx, grad_accum_steps=1)
+    batch = {
+        "input_ids": jnp.asarray(ids)[None],
+        "labels": jnp.asarray(labels)[None],
+        "position_ids": jnp.asarray(pos)[None],
+        "images_sam": images_sam[None],
+        "gt_masks": gt[None],
+    }
+
+    t0 = time.time()
+    state, aux = step(state, batch)
+    loss0 = float(aux["loss"])
+    print(
+        f"# compile+first step {time.time()-t0:.1f}s loss={loss0:.3f}",
+        file=sys.stderr,
+    )
+
+    best = 0.0
+    for _ in range(args.steps):
+        t0 = time.time()
+        state, aux = step(state, batch)
+        float(aux["loss"])  # host fetch forces completion
+        best = max(best, B / (time.time() - t0))
+
+    print(json.dumps({
+        "metric": "unigr_train_step_throughput",
+        "size": args.size,
+        "seq": L,
+        "sam_frames": T,
+        "value": round(best, 3),
+        "unit": "samples/sec/chip",
+        "step_ms": round(1000 * B / best, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
