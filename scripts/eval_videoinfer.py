@@ -68,6 +68,8 @@ def main():
     p.add_argument("--subset_num", type=int, default=1)
     p.add_argument("--use_stom", action="store_true")
     p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only LLM (ops.quant)")
     args = p.parse_args()
 
     from rga3_tpu.evaluation import videoinfer_eval as vi
@@ -83,6 +85,7 @@ def main():
         a.sam_pretrained = None
         a.model_size = args.model_size
         a.num_frames_mllm = 8
+        a.int8 = args.int8
         seg = build_segmentor(a)
 
         from rga3_tpu.evaluation.segmentor import UniGRChat

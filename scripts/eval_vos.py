@@ -41,6 +41,9 @@ def build_segmentor(args):
     size = getattr(args, "model_size", "7b")
     qcfg = {"7b": QWEN25_VL_7B, "3b": QWEN25_VL_3B,
             "tiny": tiny_config()}[size]
+    int8 = bool(getattr(args, "int8", False))
+    if int8:
+        qcfg = qcfg.replace(text=qcfg.text.replace(quant_int8=True))
     scfg = SAM2_HIERA_L if size != "tiny" else tiny_sam2_config()
     cfg = UniGRConfig(
         qwen=qcfg, sam2=scfg,
@@ -63,9 +66,11 @@ def build_segmentor(args):
         )
         params = jax.tree.map(
             lambda s: np.random.default_rng(0)
-            .normal(0, 0.02, s.shape).astype(np.float32),
+            .normal(0, 0.02, s.shape).astype(s.dtype),
             meta.unbox(shapes),
         )
+        int8 = False  # dummy init already matches the (possibly
+        # quantized) tree layout; nothing to convert
     else:
         params = load_unigr_params(args.model_dir)
         if (args.sam_pretrained
@@ -73,6 +78,14 @@ def build_segmentor(args):
             params["params"]["grounding_encoder"] = load_sam2_params(
                 args.sam_pretrained
             )["params"]
+    if int8:
+        # quantize ONLY the qwen subtree — SAM2's two-way attention uses
+        # the same q/k/v projection names but must stay float
+        from rga3_tpu.ops.quant import quantize_qwen_params
+
+        params["params"]["qwen"] = quantize_qwen_params(
+            params["params"]["qwen"]
+        )
     return UniGRSegmentor(
         model, params, processor,
         num_frames_mllm=args.num_frames_mllm,
@@ -93,6 +106,8 @@ def main():
     p.add_argument("--subset_idx", type=int, default=0)
     p.add_argument("--subset_num", type=int, default=1)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only LLM (ops.quant)")
     args = p.parse_args()
 
     from rga3_tpu.evaluation.video_seg_eval import run_eval, run_inference

@@ -19,6 +19,8 @@ def main():
     p.add_argument("--sam_pretrained", default=None)
     p.add_argument("--model_size", choices=["3b", "7b"], default="7b")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only LLM (ops.quant)")
     args = p.parse_args()
 
     from rga3_tpu.serve.app import UniGRService, serve
@@ -35,6 +37,7 @@ def main():
         a.sam_pretrained = args.sam_pretrained
         a.model_size = args.model_size
         a.num_frames_mllm = 8
+        a.int8 = args.int8
         segmentor = build_segmentor(a)
 
         from rga3_tpu.evaluation.segmentor import UniGRChat
