@@ -80,7 +80,9 @@ class QuantDense(nn.Module):
             (self.features,),
             jnp.float32,
         )
-        y = (x @ wq.astype(x.dtype)) * scale.astype(x.dtype)
+        from ...ops.quant import int8_matmul
+
+        y = int8_matmul(x, wq, scale)
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32

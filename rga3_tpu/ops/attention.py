@@ -401,10 +401,26 @@ def _bundled_flash(q, k, v, q_seg, kv_seg, causal, scale):
         kv_seg.astype(jnp.int32), ((0, 0), (0, lk_p - lk)),
         constant_values=-1,
     )
+    block_sizes = None
+    if qt.shape[3] > 128 and q.dtype == jnp.float32:
+        # wide heads + f32: shrink tiles to stay under the 16MB scoped
+        # VMEM (mirrors the forward wrapper's guard)
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+        )
+
+        blk_q = min(512, lq_p)
+        blk_k = min(512, lk_p)
+        block_sizes = BlockSizes(
+            block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
+            block_q_major_dkv=blk_q, block_k_major_dkv=blk_k,
+            block_k_dkv=blk_k, block_q_dkv=blk_q,
+            block_k_major_dq=blk_k, block_k_dq=blk_k, block_q_dq=blk_q,
+        )
     out = pallas_flash(
         qt, kt, vt,
         segment_ids=SegmentIds(q=q_seg_p, kv=kv_seg_p),
-        causal=causal, sm_scale=scale,
+        causal=causal, sm_scale=scale, block_sizes=block_sizes,
     )
     return out[:, :, :lq, :d].transpose(0, 2, 1, 3)
 

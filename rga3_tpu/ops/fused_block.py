@@ -670,6 +670,13 @@ def fused_window_block_split(
     bf = block_f
     while fdim % bf != 0:
         bf //= 2
+    if bf % 128 != 0 and not interpret:
+        # Mosaic requires lane-dim blocks in multiples of 128; odd hidden
+        # dims fall back to the XLA block rather than failing to lower
+        return _reference_block(
+            x, params, num_heads=num_heads, window=window, eps=eps,
+            scale=scale,
+        )
     if interpret:
         def row(v):
             return v.reshape(1, -1)

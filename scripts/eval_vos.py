@@ -64,11 +64,15 @@ def build_segmentor(args):
             ),
             jax.random.PRNGKey(0),
         )
-        params = jax.tree.map(
-            lambda s: np.random.default_rng(0)
-            .normal(0, 0.02, s.shape).astype(s.dtype),
-            meta.unbox(shapes),
-        )
+        def dummy_leaf(s):
+            r = np.random.default_rng(0)
+            if np.issubdtype(s.dtype, np.integer):
+                # int8 kernel_q leaves: real quantized levels, not the
+                # all-zero truncation of N(0, 0.02)
+                return r.integers(-64, 65, s.shape).astype(s.dtype)
+            return r.normal(0, 0.02, s.shape).astype(s.dtype)
+
+        params = jax.tree.map(dummy_leaf, meta.unbox(shapes))
         int8 = False  # dummy init already matches the (possibly
         # quantized) tree layout; nothing to convert
     else:
