@@ -11,7 +11,9 @@ import numpy as np
 from ..collate import TrainSample
 from .base import TaskDataset
 from .image_seg import ReasonSegDataset, ReferSegDataset, SemSegDataset
-from .qa import ReferVideoQADataset, VideoQADataset, VQADataset
+from .qa import (
+    ReferVQADataset, ReferVideoQADataset, VideoQADataset, VQADataset,
+)
 from .video_seg import VideoExpressionDataset, YTVOSDataset
 
 
@@ -53,7 +55,7 @@ DATASET_REGISTRY: Dict[str, Callable[..., TaskDataset]] = {
     "reason_seg": ReasonSegDataset,
     "vqa": VQADataset,
     "videoqa": VideoQADataset,
-    "refer_vqa": VQADataset,  # Osprey/ViP-LLaVA share the LLaVA json schema
+    "refer_vqa": ReferVQADataset,
     "refer_videoqa": ReferVideoQADataset,
     "mevis": _mevis,
     "refer_vos": _refer_vos,

@@ -234,3 +234,124 @@ class ReferVideoQADataset(TaskDataset):
             gt_masks=gt,
             has_masks=False,
         )
+
+
+class ReferVQADataset(TaskDataset):
+    """Region-level image QA: Osprey-724K conversations and ViP-LLaVA
+    stage-2/3 instruct data, with instance visual prompts rasterized by
+    `vip_processor` (ref: utils/refer_vqa_datatset.py:27-263 —
+    ReferVQADataset/ViPLLaVADataset/NewOspreyDataset). The first user turn
+    is prefixed with REFERRING_VQA_PROMPT; masks are the zero sentinel."""
+
+    name = "refer_vqa"
+
+    def __init__(
+        self,
+        base_dir: str,
+        ref_vqa_dataset: str = "vip_llava_stage2-3",
+        num_frames_mllm: int = 8,
+        num_frames_sam: int = 4,
+        sam_size: int = 1024,
+        mask_res: int = 256,
+    ):
+        self.metas: List[Dict] = []
+        if ref_vqa_dataset == "osprey":
+            self.img_folder = os.path.join(base_dir, "coco", "train2014")
+            path = os.path.join(
+                base_dir, "Osprey-724K", "osprey_conversation.json"
+            )
+            if os.path.exists(path):
+                with open(path) as f:
+                    items = json.load(f)
+                for idx, sample in enumerate(items):
+                    # ref :236-258: id + bboxes/segmentations from the
+                    # region annotations
+                    sample = dict(sample)
+                    sample["id"] = f"osprey-conv-{idx}"
+                    regions = sample.pop("annotation", [])
+                    sample["segmentations"] = [
+                        r["segmentation"] for r in regions
+                    ]
+                    sample["bboxes"] = [
+                        [
+                            r["bbox"][0], r["bbox"][1],
+                            r["bbox"][0] + r["bbox"][2],
+                            r["bbox"][1] + r["bbox"][3],
+                        ]
+                        for r in regions
+                    ]
+                    self.metas.append({
+                        "image": sample["file_name"],
+                        "line": sample,
+                        "visual_prompt": bool(sample["bboxes"]),
+                    })
+        else:  # vip_llava_stage{2,3,2-3}
+            stage = ref_vqa_dataset.split("_")[-1]
+            root = os.path.join(base_dir, "ViP-LLaVA-Instruct")
+            self.img_folder = root
+            for s in ("2", "3"):
+                if s not in stage:
+                    continue
+                path = os.path.join(root, f"vip-llava_stage{s}_mix.json")
+                if not os.path.exists(path):
+                    continue
+                with open(path) as f:
+                    samples = json.load(f)
+                for sample in samples:  # ref :155-186 filtering
+                    if "image" not in sample or "conversations" not in sample:
+                        continue
+                    img = sample["image"]
+                    if ("vg" not in img and "ocr_vqa" not in img
+                            and "gqa" not in img
+                            and "refcoco" not in str(sample.get("id", ""))):
+                        continue
+                    self.metas.append({
+                        "image": img,
+                        "line": sample,
+                        "visual_prompt": (
+                            "bboxes" in sample or "segmentations" in sample
+                        ),
+                    })
+        self.num_frames_sam = num_frames_sam
+        self.sam_size = sam_size
+        self.mask_res = mask_res
+
+    def __len__(self):
+        return len(self.metas)
+
+    def sample(self) -> TrainSample:
+        import copy
+
+        from PIL import Image
+
+        from ..templates import REFERRING_VQA_PROMPT
+        from ..visual_prompts.organizer import vip_processor
+
+        meta = random.choice(self.metas)
+        img = Image.open(
+            os.path.join(self.img_folder, meta["image"])
+        ).convert("RGB")
+        if meta["visual_prompt"]:
+            img, turns = vip_processor(
+                copy.deepcopy(meta["line"]), img, min(img.size)
+            )
+        else:
+            turns = meta["line"]["conversations"]
+        turns = [dict(t) for t in turns]
+        if turns and turns[0]["from"] != "human":
+            turns = turns[1:]
+        if turns:
+            turns[0]["value"] = REFERRING_VQA_PROMPT.format(
+                text=turns[0]["value"].replace("<image>", "").strip()
+            )
+        sam_frames, gt = _dummy_sam(
+            self.num_frames_sam, self.sam_size, self.mask_res
+        )
+        return TrainSample(
+            sample_id=str(meta["line"].get("id", "refer_vqa")),
+            messages=_qa_messages("image", turns),
+            images=[np.asarray(img)],
+            sam_frames=sam_frames,
+            gt_masks=gt,
+            has_masks=False,
+        )
