@@ -224,6 +224,25 @@ class CoTrackerLite(nn.Module):
         return pos, vis
 
 
+def save_params(path: str, params) -> None:
+    """Flat npz checkpoint keyed by jax keystr paths."""
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    np.savez(
+        path, **{jax.tree_util.keystr(k): np.asarray(v) for k, v in leaves}
+    )
+
+
+def load_params(path: str, like):
+    """Restore a params pytree saved by `save_params`; `like` provides the
+    tree structure (e.g. a fresh `model.init(...)`)."""
+    data = np.load(path)
+    leaves_like = jax.tree_util.tree_leaves_with_path(like)
+    flat = [jnp.asarray(data[jax.tree_util.keystr(k)]) for k, _ in leaves_like]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(like), flat
+    )
+
+
 class CoTrackerJax:
     """STOM tracker backend driving CoTrackerLite (matches LKTracker API)."""
 
