@@ -39,6 +39,11 @@ def main():
         cfg = cfg.replace(
             hiera=cfg.hiera.replace(use_split_fused_block=False)
         )
+    bql = os.environ.get("RGA3_FUSED_BLOCK_Q_LARGE")
+    if bql:
+        cfg = cfg.replace(
+            hiera=cfg.hiera.replace(fused_block_q_large=int(bql))
+        )
     model = Sam2Model(cfg)
     rng = np.random.default_rng(0)
 

@@ -41,6 +41,10 @@ class HieraConfig(ConfigBase):
     # balances masked-attention FLOP waste (grows with block) against MXU
     # fill (shrinks with block). A/B-tuned on v5e.
     fused_block_q_small: int = 512
+    # block_q for fused blocks with window >= 256 tokens (stage 3). 0 =
+    # one window per block (mask-free). 512 pairs two windows per block
+    # (bigger matmuls, 50%-masked attention) — A/B'd on v5e.
+    fused_block_q_large: int = 0
     # split fusion (prologue/attention/epilogue kernels with an F-blocked
     # MLP) for windowed blocks wider than fused_block_max_dim (stage 4,
     # D=1152, whose 32 MB of weights cannot stay VMEM-resident)

@@ -222,9 +222,10 @@ class MultiScaleBlock(nn.Module):
         else:
             # block == window is mask-free; larger windows already fill
             # the MXU
-            block_q = (
-                window if window >= 256 else self.cfg.fused_block_q_small
-            )
+            if window >= 256:
+                block_q = self.cfg.fused_block_q_large or window
+            else:
+                block_q = self.cfg.fused_block_q_small
             out = fused_window_block(
                 tokens, params, num_heads=self.num_heads, window=window,
                 block_q=block_q,

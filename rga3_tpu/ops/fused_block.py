@@ -741,6 +741,21 @@ def fused_window_block(
             block = window
             break
 
+    # scoped-VMEM estimate: resident weights + double-buffered token
+    # blocks + f32 scores/temporaries. Shrink the block until it fits the
+    # 16MB limit (a bad config otherwise fails at Mosaic lowering — the
+    # D=576/block=512 combo measures 16.54M).
+    def vmem_bytes(blk):
+        f = params["w1"].shape[1]
+        weights = 2 * d * (3 * d + d + 2 * f)  # bf16
+        toks = 2 * 2 * blk * d * 2  # x in + out, double-buffered, bf16
+        scores = blk * blk * 4  # f32 attention scores (per head, serial)
+        temps = blk * (3 * d + f) * 2 + blk * f * 4  # qkv + h1 + h1f
+        return weights + toks + scores + temps
+
+    while block > window and vmem_bytes(block) > 14 * 2**20:
+        block //= 2
+
     if interpret:
         def row(v):
             return v.reshape(1, -1)
