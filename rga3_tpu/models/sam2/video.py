@@ -168,14 +168,24 @@ def track_video(
     model: Sam2Model,
     params,
     frames: jnp.ndarray,  # (T, H, W, 3) normalized
-    language_embd: Optional[jnp.ndarray] = None,  # (1, N, C) frame-0 prompt
-    point_coords: Optional[jnp.ndarray] = None,  # (1, P, 2) frame-0 clicks
+    language_embd: Optional[jnp.ndarray] = None,  # (O, N, C) frame-0 prompt
+    point_coords: Optional[jnp.ndarray] = None,  # (O, P, 2) frame-0 clicks
     point_labels: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Memory-propagated tracking from a frame-0 prompt. Returns
-    {"high_res_masks": (T, 1, image, image), "obj_ptrs": (T, C)}."""
+    """Memory-propagated tracking from frame-0 prompts, O objects at once.
+
+    The trunk encodes each frame ONCE; the per-frame memory step runs all
+    objects as one batch (each with its own memory bank) — the TPU answer
+    to the reference's per-object `inference_state` dicts (ref
+    sam2.py:3771-3822; its own note records per-object fps loss, :3783).
+    Returns {"high_res_masks": (T, O, image, image), "obj_ptrs": (T, O, C)}
+    with O=1 squeezed to the legacy (T, 1, image, image) layout."""
     cfg = model.cfg
     t = frames.shape[0]
+    n_obj = (
+        language_embd.shape[0] if language_embd is not None
+        else point_coords.shape[0]
+    )
 
     feats = model.apply(params, frames, method=Sam2Model.forward_image)
     s0, s1, s2 = feats["backbone_fpn"]
@@ -184,12 +194,15 @@ def track_video(
     tpos = params["params"]["maskmem_tpos_enc"]
     s = cfg.feat_size
 
+    def tile(x):  # one frame's features -> per-object batch
+        return jnp.broadcast_to(x[None], (n_obj, *x.shape))
+
     # --- frame 0: init cond frame, prompt + no memory ---
-    pix0 = s2[:1] + no_mem.reshape(1, 1, 1, -1)
+    pix0 = tile(s2[0]) + no_mem.reshape(1, 1, 1, -1)
     out0 = model.apply(
         params,
         pix0,
-        (s0[:1], s1[:1]),
+        (tile(s0[0]), tile(s1[0])),
         language_embd,
         point_coords,
         point_labels,
@@ -198,11 +211,11 @@ def track_video(
         method=Sam2Model.forward_sam_heads,
     )
     mem0, mem_pos0 = model.apply(
-        params, s2[:1], out0["high_res_masks"].transpose(0, 2, 3, 1),
+        params, tile(s2[0]), out0["high_res_masks"].transpose(0, 2, 3, 1),
         method=Sam2Model.encode_new_memory,
     )
-    state = MemoryBank.init(cfg, batch=1)
-    state["cond_feat"] = mem0.reshape(1, s * s, cfg.mem_dim)
+    state = MemoryBank.init(cfg, batch=n_obj)
+    state["cond_feat"] = mem0.reshape(n_obj, s * s, cfg.mem_dim)
     state["cond_ptr"] = out0["obj_ptr"]
     state["cond_valid"] = jnp.ones((), bool)
     mem_pos_spatial = mem_pos0.reshape(s * s, cfg.mem_dim)
@@ -214,16 +227,16 @@ def track_video(
         )
         pix = model.apply(
             params,
-            f2[None], p2[None], memory, memory_pos, valid, nptr,
+            tile(f2), tile(p2), memory, memory_pos, valid, nptr,
             method=Sam2Model.condition_on_memory,
         )
         out = model.apply(
             params,
-            pix, (f0[None], f1[None]), None, None, None, None, True,
+            pix, (tile(f0), tile(f1)), None, None, None, None, True,
             method=Sam2Model.forward_sam_heads,
         )
         memf, _ = model.apply(
-            params, f2[None], out["high_res_masks"].transpose(0, 2, 3, 1),
+            params, tile(f2), out["high_res_masks"].transpose(0, 2, 3, 1),
             method=Sam2Model.encode_new_memory,
         )
         n_ring = cfg.num_maskmem - 1
@@ -231,13 +244,13 @@ def track_video(
         slot = jnp.mod(idx, n_ring)
         state = dict(state)
         state["ring_feat"] = state["ring_feat"].at[slot].set(
-            memf.reshape(1, s * s, cfg.mem_dim)
+            memf.reshape(n_obj, s * s, cfg.mem_dim)
         )
         state["ring_frame"] = state["ring_frame"].at[slot].set(idx)
         pslot = jnp.mod(idx, n_ptr)
         state["ptr_ring"] = state["ptr_ring"].at[pslot].set(out["obj_ptr"])
         state["ptr_frame"] = state["ptr_frame"].at[pslot].set(idx)
-        return state, (out["high_res_masks"][0], out["obj_ptr"][0])
+        return state, (out["high_res_masks"][:, 0], out["obj_ptr"])
 
     if t > 1:
         idxs = jnp.arange(1, t)
@@ -245,10 +258,10 @@ def track_video(
             step, state, (idxs, s0[1:], s1[1:], s2[1:], pos2[1:])
         )
         masks = jnp.concatenate(
-            [out0["high_res_masks"], masks_rest], axis=0
+            [out0["high_res_masks"][None, :, 0], masks_rest], axis=0
         )
-        ptrs = jnp.concatenate([out0["obj_ptr"], ptrs_rest], axis=0)
+        ptrs = jnp.concatenate([out0["obj_ptr"][None], ptrs_rest], axis=0)
     else:
-        masks = out0["high_res_masks"]
-        ptrs = out0["obj_ptr"]
+        masks = out0["high_res_masks"][None, :, 0]
+        ptrs = out0["obj_ptr"][None]
     return {"high_res_masks": masks, "obj_ptrs": ptrs}

@@ -27,6 +27,7 @@ BASELINE_FPS = 27.0
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=32)
+    p.add_argument("--objects", type=int, default=1)
     p.add_argument("--samples", type=int, default=5)
     args = p.parse_args()
 
@@ -50,13 +51,13 @@ def main():
         dtype=jnp.bfloat16,
     )
     lang = jnp.asarray(
-        rng.normal(size=(1, 1, cfg.d_model)).astype(np.float32),
+        rng.normal(size=(args.objects, 1, cfg.d_model)).astype(np.float32),
         dtype=jnp.bfloat16,
     )
 
     shapes = jax.eval_shape(
         lambda k: model.init(
-            k, frames[:1], lang,
+            k, frames[:1], lang[:1],
         ),
         jax.random.PRNGKey(0),
     )
@@ -90,6 +91,7 @@ def main():
     fps = max(sample() for _ in range(args.samples))
     print(json.dumps({
         "metric": "sam2_hiera_l_1024_memory_tracking_throughput",
+        "objects": args.objects,
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -83,3 +83,28 @@ def test_track_video_runs_and_uses_memory(sam2):
     )["high_res_masks"]
     diff = float(jnp.abs(out["high_res_masks"][1] - init[0]).max())
     assert diff > 1e-7
+
+
+def test_track_video_multi_object(sam2):
+    """O objects tracked in one batched scan: per-object banks, shared
+    trunk encode; object 0's masks match the single-object run."""
+    cfg, model, params, frames, lang = sam2
+    frames4 = jnp.concatenate([frames, frames], axis=0)  # T=4
+    lang2 = jnp.concatenate([lang[:1], lang[:1] * -1.0], axis=0)  # O=2
+    out = track_video(model, params, frames4, language_embd=lang2)
+    assert out["high_res_masks"].shape == (4, 2, 64, 64)
+    assert out["obj_ptrs"].shape == (4, 2, cfg.d_model)
+    single = track_video(model, params, frames4, language_embd=lang[:1])
+    np.testing.assert_allclose(
+        np.asarray(out["high_res_masks"][:, 0]),
+        np.asarray(single["high_res_masks"][:, 0]),
+        rtol=1e-4, atol=1e-4,
+    )
+    # the two prompts produce different tracks
+    assert (
+        np.abs(
+            np.asarray(out["high_res_masks"][:, 0])
+            - np.asarray(out["high_res_masks"][:, 1])
+        ).max()
+        > 1e-3
+    )
