@@ -128,15 +128,17 @@ class ReferSegDataset(TaskDataset):
         mask_res: int = 256,
         sam_size: int = 1024,
     ):
+        from ..grefer import G_REFER
         from ..refer import REFER
 
         self.refs = []
         for ds in datasets.split("||"):
             split_by = "umd" if ds == "refcocog" else "unc"
-            if ds == "refclef":
-                split_by = "unc"
             try:
-                api = REFER(
+                # grefcoco rides the G_REFER API (multi-target / no-target
+                # refs, ref utils/refer_seg_dataset.py:63-66)
+                api_cls = G_REFER if ds == "grefcoco" else REFER
+                api = api_cls(
                     os.path.join(base_dir, "refer_seg"), ds, split_by
                 )
                 ref_ids = api.getRefIds(split="train")
