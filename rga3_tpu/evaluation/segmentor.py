@@ -93,42 +93,62 @@ class UniGRSegmentor:
             # prompt, single-mask output, low-res logits upscaled by the
             # caller
             @jax.jit
-            def _sam_decode(params, frames, lang):
+            def _sam_encode(params, frames):
+                return (
+                    model.apply(
+                        params, frames,
+                        method=lambda m, fr: m.sam_model.encode_image(fr),
+                    ),
+                )
+
+            @jax.jit
+            def _sam_decode_feats(params, feats, lang):
                 return model.apply(
-                    params, frames, lang,
-                    method=lambda m, fr, le: (
-                        m.sam_model.decode_frames_with_language(
-                            fr, le, multimask_output=False
+                    params, feats[0], lang,
+                    method=lambda m, e, le: (
+                        m.sam_model.decode_with_language(
+                            e, le, multimask_output=False
                         )
                     ),
                 )["low_res_masks"]
         else:
             @jax.jit
-            def _sam_decode(params, frames, lang):
+            def _sam_encode(params, frames):
+                out = model.apply(
+                    params, frames,
+                    method=lambda m, fr: (
+                        m.grounding_encoder.forward_image(fr)
+                    ),
+                )
+                return tuple(out["backbone_fpn"])
+
+            @jax.jit
+            def _sam_decode_feats(params, feats, lang):
+                s0, s1, s2 = feats
                 return model.apply(
-                    params, frames, lang, True, False,
-                    method=lambda m, fr, le, mm, tr: (
-                        m.grounding_encoder.decode_frames_with_language(
-                            fr, le, multimask_output=mm, training=tr
+                    params, s0, s1, s2, lang, True, False,
+                    method=lambda m, a, b, c, le, mm, tr: (
+                        m.grounding_encoder.decode_features_with_language(
+                            a, b, c, le, multimask_output=mm, training=tr
                         )
                     ),
                 )["high_res_masks"]
 
         self._llm_seg = _llm_seg
+        self._sam_encode = _sam_encode
+        self._sam_decode_feats = _sam_decode_feats
+
+        def _sam_decode(params, frames, lang):
+            return _sam_decode_feats(
+                params, _sam_encode(params, frames), lang
+            )
+
         self._sam_decode = _sam_decode
 
-    def segment_video(
-        self,
-        frames: Sequence[np.ndarray],  # (H, W, 3) uint8 RGB, all frames
-        expression: str,
-    ) -> np.ndarray:
-        """Returns (T, H, W) bool masks at the original frame size."""
-        import jax
+    def _seg_embedding(self, frames, expression: str):
+        """Teacher-forced LLM pass -> ([SEG] embedding (C,), has_seg)."""
         import jax.numpy as jnp
 
-        from ..ops.resize import resize_bilinear
-
-        h, w = frames[0].shape[:2]
         t_all = len(frames)
         sparse_idx = get_sparse_indices(t_all, self.num_frames_mllm)
         mllm_frames = [frames[i] for i in sparse_idx]
@@ -146,13 +166,6 @@ class UniGRSegmentor:
         )
         layout = compute_vision_layout(grids, self.model.cfg.qwen.vision)
         la = layout_device_args(layout, self.model.cfg.qwen.vision)
-
-        # run LLM once to get the [SEG] embedding, then chunk SAM frames
-        sam_cfg = (
-            self.model.cfg.sam1 if self._legacy else self.model.cfg.sam2
-        )
-        sam_size = sam_cfg.image_size
-        out_masks = np.zeros((t_all, h, w), bool)
         seg_emb, has_seg = self._llm_seg(
             self.params,
             jnp.asarray(input_ids, jnp.int32),
@@ -160,7 +173,48 @@ class UniGRSegmentor:
             jnp.asarray(enc["pixel_values_videos"]),
             la,
         )
-        if not bool(np.asarray(has_seg)[0]):
+        return np.asarray(seg_emb[0]), bool(np.asarray(has_seg)[0])
+
+    def segment_video(
+        self,
+        frames: Sequence[np.ndarray],  # (H, W, 3) uint8 RGB, all frames
+        expression: str,
+    ) -> np.ndarray:
+        """Returns (T, H, W) bool masks at the original frame size."""
+        return self.segment_video_multi(frames, [expression])[0]
+
+    def segment_video_multi(
+        self,
+        frames: Sequence[np.ndarray],
+        expressions: Sequence[str],
+    ) -> np.ndarray:
+        """All expressions of one video in a single pass: the SAM backbone
+        encodes each frame chunk ONCE and every expression decodes against
+        the shared features (the reference re-runs the full backbone per
+        expression — inference_mevis.py job granularity). Returns
+        (E, T, H, W) bool."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.resize import resize_bilinear
+
+        h, w = frames[0].shape[:2]
+        t_all = len(frames)
+        e_all = len(expressions)
+        sam_cfg = (
+            self.model.cfg.sam1 if self._legacy else self.model.cfg.sam2
+        )
+        sam_size = sam_cfg.image_size
+        out_masks = np.zeros((e_all, t_all, h, w), bool)
+
+        seg_embs = []
+        active = []
+        for ei, expr in enumerate(expressions):
+            emb, has_seg = self._seg_embedding(frames, expr)
+            if has_seg:
+                seg_embs.append(emb)
+                active.append(ei)
+        if not active:
             return out_masks
 
         chunk = self.sam_chunk
@@ -174,17 +228,20 @@ class UniGRSegmentor:
                 sam_frames = np.pad(
                     sam_frames, ((0, pad), (0, 0), (0, 0), (0, 0))
                 )
-            lang = jnp.broadcast_to(
-                jnp.asarray(seg_emb[0])[None, None, :],
-                (sam_frames.shape[0], 1, self.model.cfg.seg.out_dim),
+            feats = self._sam_encode(
+                self.params, jnp.asarray(sam_frames, self.compute_dtype)
             )
-            masks = self._sam_decode(
-                self.params,
-                jnp.asarray(sam_frames, self.compute_dtype), lang,
-            )[:, 0]  # (chunk, S, S)
-            masks = resize_bilinear(masks, (h, w))
-            masks_np = np.asarray(jax.nn.sigmoid(masks) > 0.5)
-            out_masks[start : start + len(sub)] = masks_np[: len(sub)]
+            for ei, emb in zip(active, seg_embs):
+                lang = jnp.broadcast_to(
+                    jnp.asarray(emb)[None, None, :],
+                    (sam_frames.shape[0], 1, self.model.cfg.seg.out_dim),
+                )
+                masks = self._sam_decode_feats(self.params, feats, lang)
+                masks = resize_bilinear(masks[:, 0], (h, w))
+                masks_np = np.asarray(jax.nn.sigmoid(masks) > 0.5)
+                out_masks[ei, start : start + len(sub)] = (
+                    masks_np[: len(sub)]
+                )
         return out_masks
 
 

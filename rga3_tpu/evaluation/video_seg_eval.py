@@ -54,24 +54,42 @@ def run_inference(
     ann = os.path.join(data_root, split, "meta_expressions.json")
     jobs = load_meta_expressions(ann)
     done = 0
+
+    # group the sharded job list by video so every expression of a video
+    # shares ONE backbone encode per frame (segment_video_multi); the
+    # reference re-runs the full backbone per expression
+    by_video = {}
     for i, job in enumerate(jobs):
         if i % subset_num != subset_idx:
             continue
+        by_video.setdefault(job["video"], []).append(job)
+
+    for video, vjobs in by_video.items():
+        pending = []
+        for job in vjobs:
+            dst = os.path.join(out_dir, job["video"], job["exp_id"])
+            if (os.path.isdir(dst)
+                    and len(os.listdir(dst)) == len(job["frames"])):
+                continue  # idempotent resume (ref :158-159)
+            os.makedirs(dst, exist_ok=True)
+            pending.append(job)
+        if not pending:
+            continue
         if max_jobs is not None and done >= max_jobs:
             break
-        dst = os.path.join(out_dir, job["video"], job["exp_id"])
-        if os.path.isdir(dst) and len(os.listdir(dst)) == len(job["frames"]):
-            continue  # idempotent resume (ref :158-159)
-        os.makedirs(dst, exist_ok=True)
         frames = load_frames_from_dir(
-            os.path.join(data_root, split, "JPEGImages", job["video"])
+            os.path.join(data_root, split, "JPEGImages", video)
         )
-        masks = segmentor.segment_video(frames, job["exp"])
-        for name, m in zip(job["frames"], masks):
-            Image.fromarray((m * 255).astype(np.uint8)).save(
-                os.path.join(dst, f"{name}.png")
-            )
-        done += 1
+        all_masks = segmentor.segment_video_multi(
+            frames, [job["exp"] for job in pending]
+        )
+        for job, masks in zip(pending, all_masks):
+            dst = os.path.join(out_dir, job["video"], job["exp_id"])
+            for name, m in zip(job["frames"], masks):
+                Image.fromarray((m * 255).astype(np.uint8)).save(
+                    os.path.join(dst, f"{name}.png")
+                )
+            done += 1
     return done
 
 

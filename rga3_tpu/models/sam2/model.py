@@ -195,7 +195,24 @@ class Sam2Model(nn.Module):
         pix_feat = stride-16 feature + no_mem_embed."""
         feats = self.forward_image(images)
         s0, s1, s2 = feats["backbone_fpn"]
-        t, h, w, c = s2.shape
+        return self.decode_features_with_language(
+            s0, s1, s2, language_embd,
+            multimask_output=multimask_output, training=training,
+        )
+
+    def decode_features_with_language(
+        self,
+        s0: jnp.ndarray,
+        s1: jnp.ndarray,
+        s2: jnp.ndarray,
+        language_embd: jnp.ndarray,
+        multimask_output: bool = True,
+        training: bool = False,
+    ):
+        """Language decode from pre-computed fpn features — lets eval
+        drivers encode each video frame ONCE and decode many expressions
+        against it (the reference re-runs the whole backbone per
+        expression, ref inference_mevis.py:156-217)."""
         pix = s2 + self.no_mem_embed.reshape(1, 1, 1, -1).astype(s2.dtype)
         return self.forward_sam_heads(
             pix,

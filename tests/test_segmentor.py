@@ -98,3 +98,18 @@ def test_segment_video_legacy_backbone(legacy_segmentor):
     masks = legacy_segmentor.segment_video(frames, "the red car")
     assert masks.shape == (3, 40, 60)
     assert masks.dtype == bool
+
+
+def test_segment_video_multi_matches_single(segmentor):
+    """Shared-backbone multi-expression decode equals per-expression
+    decode (the eval-driver fast path)."""
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 255, (44, 52, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    exprs = ["the red car", "the person walking"]
+    multi = segmentor.segment_video_multi(frames, exprs)
+    assert multi.shape == (2, 3, 44, 52)
+    for ei, expr in enumerate(exprs):
+        single = segmentor.segment_video(frames, expr)
+        np.testing.assert_array_equal(multi[ei], single)
