@@ -1,0 +1,151 @@
+"""Full referring-QA pipeline throughput on one TPU chip: vision tower +
+prefill + KV-cached greedy decode — the VideoInfer serving workload
+(ref inference_videoinfer.py:277-321; BASELINE north star is per-chip
+VideoInfer throughput).
+
+Synthesizes the release video budget (8 frames at <=320*28*28 px ->
+320 merged video tokens, ref run_torchrun.sh:19) and measures end-to-end
+samples/sec for 64 new tokens.
+
+  python scripts/bench_qa.py --size 7b --int8
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", choices=["tiny", "3b", "7b"], default="3b")
+    p.add_argument("--decode", type=int, default=64)
+    p.add_argument("--text-tokens", type=int, default=64)
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--samples", type=int, default=5)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rga3_tpu.models.qwen25vl import (
+        QWEN25_VL_3B, QWEN25_VL_7B, tiny_config,
+    )
+    from rga3_tpu.models.qwen25vl.config import VIDEO_PAD_TOKEN_ID
+    from rga3_tpu.models.qwen25vl.generate import greedy_generate
+    from rga3_tpu.models.qwen25vl.model import Qwen25VL
+    from rga3_tpu.models.qwen25vl.positions import get_rope_index
+    from rga3_tpu.models.qwen25vl.vision import (
+        compute_vision_layout, layout_device_args,
+    )
+
+    qcfg = {
+        "tiny": tiny_config(), "3b": QWEN25_VL_3B, "7b": QWEN25_VL_7B,
+    }[args.size]
+    qcfg = qcfg.replace(
+        text=qcfg.text.replace(scan_layers=True, quant_int8=args.int8),
+        vision=qcfg.vision.replace(scan_blocks=True),
+    )
+    model = Qwen25VL(qcfg)
+    vcfg = qcfg.vision
+
+    # 8 frames -> 4 temporal groups x 16x20 patch grid = 320 merged tokens
+    grid = (4, 16, 20) if args.size != "tiny" else (1, 4, 4)
+    n_patches = grid[0] * grid[1] * grid[2]
+    n_merged = n_patches // vcfg.merge_unit
+    layout = compute_vision_layout([grid], vcfg)
+    la = layout_device_args(layout, vcfg)
+
+    rng = np.random.default_rng(0)
+    L = args.text_tokens + n_merged
+    ids = rng.integers(1000, 30_000, size=(1, L)).astype(np.int32)
+    vid_start = args.text_tokens // 2
+    ids[0, vid_start : vid_start + n_merged] = VIDEO_PAD_TOKEN_ID
+    pos, deltas = get_rope_index(
+        qcfg, ids, video_grid_thw=[grid],
+        second_per_grid_ts=[1.0],
+    )
+    patches = jnp.asarray(
+        rng.normal(
+            size=(
+                n_patches,
+                3 * vcfg.temporal_patch_size * vcfg.patch_size**2,
+            )
+        ).astype(np.float32),
+        jnp.bfloat16,
+    )
+
+    # random bf16 params on device; int8 tree transform afterwards
+    init_cfg = qcfg.replace(text=qcfg.text.replace(quant_int8=False))
+    init_model = Qwen25VL(init_cfg)
+    shapes = jax.eval_shape(
+        lambda k: init_model.init(
+            k, input_ids=ids, pixel_patches=patches, vision_layout=la
+        ),
+        jax.random.PRNGKey(0),
+    )
+    from flax.core import meta
+
+    @jax.jit
+    def make_params(k):
+        fp = jax.tree.map(
+            lambda s: (jax.random.normal(k, s.shape) * 0.02).astype(
+                jnp.bfloat16
+            ),
+            meta.unbox(shapes),
+        )
+        if args.int8:
+            from rga3_tpu.ops.quant import quantize_qwen_params
+
+            return {"params": quantize_qwen_params(fp["params"])}
+        return fp
+
+    t0 = time.time()
+    params = make_params(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    print(f"# params ready in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    def run():
+        return greedy_generate(
+            model, params,
+            jnp.asarray(ids), jnp.ones((1, L), jnp.int32),
+            jnp.asarray(pos), jnp.asarray(deltas),
+            max_new_tokens=args.decode,
+            eos_token_id=-1,  # never stop early (throughput measurement)
+            pad_token_id=151643,
+            pixel_patches=patches,
+            vision_layout=la,
+            compute_dtype=jnp.bfloat16,
+        )
+
+    t0 = time.time()
+    np.asarray(run())
+    print(f"# compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+
+    best = 0.0
+    for _ in range(args.samples):
+        t0 = time.time()
+        np.asarray(run())
+        best = max(best, 1.0 / (time.time() - t0))
+
+    print(json.dumps({
+        "metric": "videoinfer_qa_pipeline_throughput",
+        "size": args.size,
+        "int8": args.int8,
+        "video_tokens": n_merged,
+        "new_tokens": args.decode,
+        "value": round(best, 3),
+        "unit": "samples/sec/chip",
+        "ms_per_sample": round(1000.0 / best, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,8 @@ def parse_args():
                    action="store_false")
     p.add_argument("--precision", default="bfloat16")
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--data_workers", type=int, default=2,
+                   help="prefetch threads (0 = synchronous)")
     p.add_argument("--profile_dir", default=None)
     p.add_argument("--no_eval", action="store_true",
                    help="skip the per-epoch ReasonSeg-val gIoU/cIoU loop")
@@ -285,6 +287,72 @@ def main():
             micro * max(args.num_frames_mllm // 2, 1) * per_frame_patches
         )
         vision_budget = -(-vision_budget // 4) * 4
+        def make_accum_batch():
+            micro_batches = []
+            for _ in range(args.grad_accum_steps):
+                samples = [
+                    train_ds[0] for _ in range(micro)
+                ]
+                c = collate(
+                    samples, processor, cfg.qwen,
+                    vision_budget_tokens=vision_budget,
+                )
+                mb = {
+                    "input_ids": c["input_ids"],
+                    "labels": c["labels"],
+                    "position_ids": c["position_ids"],
+                    "segment_ids": c["attention_mask"].astype(np.int32),
+                    "images_sam": c["images_sam"].astype(np.float32),
+                    "gt_masks": c["gt_masks"],
+                    "masks_valid": c["masks_valid"],
+                }
+                if "pixel_patches" in c:
+                    mb["pixel_patches"] = c["pixel_patches"]
+                    for k, v in c["vision_layout"].items():
+                        mb[f"vl_{k}"] = v
+                micro_batches.append(mb)
+            # pad text-length variation across micro-batches before
+            # stacking on the accumulation axis
+            max_l = max(m["input_ids"].shape[1] for m in micro_batches)
+            max_gh = max(m["gt_masks"].shape[2] for m in micro_batches)
+            max_gw = max(m["gt_masks"].shape[3] for m in micro_batches)
+            for m in micro_batches:
+                l = m["input_ids"].shape[1]
+                if l < max_l:
+                    pad = max_l - l
+                    m["input_ids"] = np.pad(
+                        m["input_ids"], ((0, 0), (0, pad)),
+                        constant_values=151643,
+                    )
+                    m["labels"] = np.pad(
+                        m["labels"], ((0, 0), (0, pad)),
+                        constant_values=-100,
+                    )
+                    m["segment_ids"] = np.pad(
+                        m["segment_ids"], ((0, 0), (0, pad))
+                    )
+                    m["position_ids"] = np.pad(
+                        m["position_ids"],
+                        ((0, 0), (0, 0), (0, pad)),
+                    )
+                gh, gw = m["gt_masks"].shape[2:]
+                if gh < max_gh or gw < max_gw:
+                    m["gt_masks"] = np.pad(
+                        m["gt_masks"],
+                        ((0, 0), (0, 0), (0, max_gh - gh),
+                         (0, max_gw - gw)),
+                    )
+            batch = {
+                k: np.stack([m[k] for m in micro_batches])
+                for k in micro_batches[0]
+            }
+            return batch
+
+        from rga3_tpu.data.prefetch import PrefetchLoader
+
+        loader = PrefetchLoader(
+            make_accum_batch, num_workers=args.data_workers
+        )
         global_step = start_epoch * args.steps_per_epoch
         for epoch in range(start_epoch, args.epochs):
             meters = {
@@ -294,64 +362,7 @@ def main():
             }
             t_epoch = time.time()
             for it in range(args.steps_per_epoch):
-                micro_batches = []
-                for _ in range(args.grad_accum_steps):
-                    samples = [
-                        train_ds[0] for _ in range(micro)
-                    ]
-                    c = collate(
-                        samples, processor, cfg.qwen,
-                        vision_budget_tokens=vision_budget,
-                    )
-                    mb = {
-                        "input_ids": c["input_ids"],
-                        "labels": c["labels"],
-                        "position_ids": c["position_ids"],
-                        "segment_ids": c["attention_mask"].astype(np.int32),
-                        "images_sam": c["images_sam"].astype(np.float32),
-                        "gt_masks": c["gt_masks"],
-                        "masks_valid": c["masks_valid"],
-                    }
-                    if "pixel_patches" in c:
-                        mb["pixel_patches"] = c["pixel_patches"]
-                        for k, v in c["vision_layout"].items():
-                            mb[f"vl_{k}"] = v
-                    micro_batches.append(mb)
-                # pad text-length variation across micro-batches before
-                # stacking on the accumulation axis
-                max_l = max(m["input_ids"].shape[1] for m in micro_batches)
-                max_gh = max(m["gt_masks"].shape[2] for m in micro_batches)
-                max_gw = max(m["gt_masks"].shape[3] for m in micro_batches)
-                for m in micro_batches:
-                    l = m["input_ids"].shape[1]
-                    if l < max_l:
-                        pad = max_l - l
-                        m["input_ids"] = np.pad(
-                            m["input_ids"], ((0, 0), (0, pad)),
-                            constant_values=151643,
-                        )
-                        m["labels"] = np.pad(
-                            m["labels"], ((0, 0), (0, pad)),
-                            constant_values=-100,
-                        )
-                        m["segment_ids"] = np.pad(
-                            m["segment_ids"], ((0, 0), (0, pad))
-                        )
-                        m["position_ids"] = np.pad(
-                            m["position_ids"],
-                            ((0, 0), (0, 0), (0, pad)),
-                        )
-                    gh, gw = m["gt_masks"].shape[2:]
-                    if gh < max_gh or gw < max_gw:
-                        m["gt_masks"] = np.pad(
-                            m["gt_masks"],
-                            ((0, 0), (0, 0), (0, max_gh - gh),
-                             (0, max_gw - gw)),
-                        )
-                batch = {
-                    k: np.stack([m[k] for m in micro_batches])
-                    for k in micro_batches[0]
-                }
+                batch = next(loader)
                 state, aux = step_fn(state, stage(batch))
                 for k, m in meters.items():
                     m.update(float(aux[k]))

@@ -165,3 +165,41 @@ def test_video_blending_keyframes_only_marks_keys():
     assert np.array_equal(np.asarray(out[0]), np.asarray(img))
     assert not np.array_equal(np.asarray(out[1]), np.asarray(img))
     assert np.array_equal(np.asarray(out[2]), np.asarray(img))
+
+
+def test_prefetch_loader_produces_and_propagates_errors():
+    import itertools
+    import threading
+    import time as _time
+
+    from rga3_tpu.data.prefetch import PrefetchLoader
+
+    counter = itertools.count()
+    lock = threading.Lock()
+
+    def make_batch():
+        with lock:
+            i = next(counter)
+        return {"i": i}
+
+    loader = PrefetchLoader(make_batch, num_workers=2, buffer_size=2)
+    got = [next(loader)["i"] for _ in range(10)]
+    assert len(set(got)) == 10  # every batch distinct
+    loader.close()
+
+    # synchronous mode
+    sync = PrefetchLoader(make_batch, num_workers=0)
+    a, b = next(sync), next(sync)
+    assert a["i"] != b["i"]
+
+    # worker exceptions surface on the consumer side
+    def boom():
+        raise RuntimeError("producer failed")
+
+    bad = PrefetchLoader(boom, num_workers=1, buffer_size=1)
+    _time.sleep(0.2)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(bad)
+    bad.close()
