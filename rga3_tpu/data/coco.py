@@ -77,5 +77,5 @@ def segmentation_to_mask(
     mask = np.zeros((height, width), np.uint8)
     for poly in seg:
         pts = np.asarray(poly, np.float64).reshape(-1, 2)
-        cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
+        cv2.fillPoly(mask, [pts.astype(np.int32)], 1)
     return mask

@@ -220,8 +220,13 @@ class SemSegDataset(TaskDataset):
         images = sorted(
             glob.glob(os.path.join(base, "images", "training", "*.jpg"))
         )
+        # rebuild rather than str.replace on the absolute path (a
+        # base_dir containing "images" would be mangled)
         labels = [
-            p.replace("images", "annotations").replace(".jpg", ".png")
+            os.path.join(
+                base, "annotations", "training",
+                os.path.basename(p)[:-4] + ".png",
+            )
             for p in images
         ]
         if images:
@@ -298,7 +303,8 @@ class SemSegDataset(TaskDataset):
                 )
             else:
                 class_map[cat["id"]] = parts[0].split("_(")[0]
-        self.coco_sources["paco_lvis"] = (class_map, api.getImgIds(), api)
+        annotated = [i for i in api.getImgIds() if api.img_to_anns.get(i)]
+        self.coco_sources["paco_lvis"] = (class_map, annotated, api)
 
     def _init_pascal_part(self):
         path = os.path.join(
@@ -313,7 +319,8 @@ class SemSegDataset(TaskDataset):
             cat["id"]: tuple(cat["name"].strip().split(":"))
             for cat in api.loadCats(api.getCatIds())
         }
-        self.coco_sources["pascal_part"] = (class_map, api.getImgIds(), api)
+        annotated = [i for i in api.getImgIds() if api.img_to_anns.get(i)]
+        self.coco_sources["pascal_part"] = (class_map, annotated, api)
 
     def __len__(self):
         return sum(len(s[1]) for s in self.png_sources.values()) + sum(
@@ -324,7 +331,8 @@ class SemSegDataset(TaskDataset):
         from PIL import Image
 
         classes, images, labels = self.png_sources[ds]
-        for _ in range(10):
+        ids = np.zeros((0,))
+        for _ in range(50):
             i = random.randrange(len(images))
             label = np.asarray(Image.open(labels[i])).copy()
             if ds == "ade20k":
@@ -341,6 +349,10 @@ class SemSegDataset(TaskDataset):
             ids = ids[ids != 255]
             if len(ids):
                 break
+        if not len(ids):
+            raise RuntimeError(
+                f"sem_seg[{ds}]: no labeled pixels in 50 sampled images"
+            )
         img = np.asarray(Image.open(images[i]).convert("RGB"))
         cls_id = int(random.choice(ids))
         mask = (label == cls_id).astype(np.float32)
@@ -351,11 +363,16 @@ class SemSegDataset(TaskDataset):
         from PIL import Image
 
         class_map, img_ids, api = self.coco_sources[ds]
-        for _ in range(10):
+        anns = []
+        for _ in range(50):
             info = api.loadImgs([random.choice(img_ids)])[0]
             anns = api.loadAnns(api.getAnnIds(info["id"]))
             if anns:
                 break
+        if not anns:
+            raise RuntimeError(
+                f"sem_seg[{ds}]: no annotated images in 50 samples"
+            )
         ann = random.choice(anns)
         file_name = info["file_name"]
         if ds == "pascal_part":

@@ -12,7 +12,6 @@ from typing import Dict, List, Sequence, Union
 
 import numpy as np
 
-from ..utils import rle as rle_codec
 
 
 class G_REFER:
@@ -57,22 +56,13 @@ class G_REFER:
 
     def get_mask(self, ref: Dict) -> np.ndarray:
         """Union of all target masks; all-zero for no-target refs."""
-        import cv2
+        from .coco import segmentation_to_mask
 
         img = self.Imgs[ref["image_id"]]
         h, w = img["height"], img["width"]
         mask = np.zeros((h, w), np.uint8)
         for aid in self._ann_ids(ref):
-            ann = self.Anns[aid]
-            seg = ann["segmentation"]
-            if isinstance(seg, list):
-                for poly in seg:
-                    pts = np.asarray(poly, np.float64).reshape(-1, 2)
-                    cv2.fillPoly(mask, [pts.astype(np.int32)], 1)
-            else:
-                counts = seg["counts"]
-                m = rle_codec.decode(
-                    {"size": seg["size"], "counts": counts}
-                )
-                mask |= m.astype(np.uint8)
+            mask |= segmentation_to_mask(
+                self.Anns[aid]["segmentation"], h, w
+            )
         return mask

@@ -15,7 +15,6 @@ from typing import Any, Dict, List, Sequence, Union
 
 import numpy as np
 
-from ..utils import rle as rle_codec
 
 
 class REFER:
@@ -68,23 +67,10 @@ class REFER:
     # -- masks ------------------------------------------------------------
     def get_mask(self, ref: Dict) -> np.ndarray:
         """Binary (H, W) mask for a ref's annotation (polygon or RLE)."""
-        import cv2
+        from .coco import segmentation_to_mask
 
         ann = self.Anns[ref["ann_id"]]
         img = self.Imgs[ref["image_id"]]
-        h, w = img["height"], img["width"]
-        seg = ann["segmentation"]
-        mask = np.zeros((h, w), np.uint8)
-        if isinstance(seg, list):
-            for poly in seg:
-                pts = np.asarray(poly, np.float64).reshape(-1, 2)
-                cv2.fillPoly(mask, [pts.astype(np.int32)], 1)
-        else:
-            counts = seg["counts"]
-            if isinstance(counts, list):
-                mask = rle_codec.decode(
-                    {"size": seg["size"], "counts": counts}
-                )
-            else:
-                mask = rle_codec.decode(seg)
-        return mask
+        return segmentation_to_mask(
+            ann["segmentation"], img["height"], img["width"]
+        )

@@ -138,13 +138,6 @@ class UniGRSegmentor:
         self._sam_encode = _sam_encode
         self._sam_decode_feats = _sam_decode_feats
 
-        def _sam_decode(params, frames, lang):
-            return _sam_decode_feats(
-                params, _sam_encode(params, frames), lang
-            )
-
-        self._sam_decode = _sam_decode
-
     def _seg_embedding(self, frames, expression: str):
         """Teacher-forced LLM pass -> ([SEG] embedding (C,), has_seg)."""
         import jax.numpy as jnp

@@ -65,18 +65,19 @@ def run_inference(
         by_video.setdefault(job["video"], []).append(job)
 
     for video, vjobs in by_video.items():
+        if max_jobs is not None and done >= max_jobs:
+            break
         pending = []
         for job in vjobs:
             dst = os.path.join(out_dir, job["video"], job["exp_id"])
             if (os.path.isdir(dst)
                     and len(os.listdir(dst)) == len(job["frames"])):
                 continue  # idempotent resume (ref :158-159)
-            os.makedirs(dst, exist_ok=True)
             pending.append(job)
+        if max_jobs is not None:
+            pending = pending[: max_jobs - done]
         if not pending:
             continue
-        if max_jobs is not None and done >= max_jobs:
-            break
         frames = load_frames_from_dir(
             os.path.join(data_root, split, "JPEGImages", video)
         )
@@ -85,6 +86,7 @@ def run_inference(
         )
         for job, masks in zip(pending, all_masks):
             dst = os.path.join(out_dir, job["video"], job["exp_id"])
+            os.makedirs(dst, exist_ok=True)
             for name, m in zip(job["frames"], masks):
                 Image.fromarray((m * 255).astype(np.uint8)).save(
                     os.path.join(dst, f"{name}.png")

@@ -20,13 +20,18 @@ def _smooth_noise(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
     img = rng.random((h, w, 3)).astype(np.float32)
     k = 5
     pad = np.pad(img, ((k, k), (k, k), (0, 0)), mode="wrap")
-    csum = np.cumsum(np.cumsum(pad, axis=0), axis=1)
     win = 2 * k + 1
+    # integral image with a leading zero row/col so every window position
+    # is represented (a bare double-cumsum drops one row/col)
+    csum = np.zeros(
+        (pad.shape[0] + 1, pad.shape[1] + 1, 3), np.float64
+    )
+    csum[1:, 1:] = np.cumsum(np.cumsum(pad, axis=0), axis=1)
     box = (
         csum[win:, win:] - csum[:-win, win:] - csum[win:, :-win]
         + csum[:-win, :-win]
     ) / (win * win)
-    out = box[: h, : w]
+    out = box[:h, :w].astype(np.float32)
     out = out - out.min()
     return out / max(out.max(), 1e-6)
 

@@ -755,6 +755,10 @@ def fused_window_block(
 
     while block > window and vmem_bytes(block) > 14 * 2**20:
         block //= 2
+    if block % window != 0:
+        # halving can break the groups-never-straddle-blocks invariant
+        # (e.g. 768 -> 384 with window 256); snap down to one window
+        block = window
 
     if interpret:
         def row(v):

@@ -350,8 +350,10 @@ def main():
 
         from rga3_tpu.data.prefetch import PrefetchLoader
 
+        # buffer_size 2: one accumulation batch of 1024^2 SAM frames is
+        # hundreds of MB of host RAM — bound queued + in-flight batches
         loader = PrefetchLoader(
-            make_accum_batch, num_workers=args.data_workers
+            make_accum_batch, num_workers=args.data_workers, buffer_size=2
         )
         global_step = start_epoch * args.steps_per_epoch
         for epoch in range(start_epoch, args.epochs):
@@ -417,6 +419,8 @@ def main():
             )
             if is_best:
                 print(f"epoch {epoch}: new best", flush=True)
+
+        loader.close()
 
     print("training complete", flush=True)
 
