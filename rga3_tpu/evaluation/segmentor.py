@@ -26,10 +26,16 @@ from ..data.datasets.base import sam_preprocess_frame
 
 
 def build_seg_messages(expression: str) -> List[ChatMessage]:
-    """Teacher-forced [SEG] conversation (ref inference_mevis.py:194-202)."""
-    q = (
-        f"Can you segment the {expression.strip().lower()} in this video?"
-    )
+    """Teacher-forced [SEG] conversation (ref inference_mevis.py:194-202;
+    question-form queries keep their phrasing per the demo heuristic,
+    ref app.py:393-401)."""
+    expr = expression.strip()
+    if expr.endswith("?"):
+        q = f"{expr} Please output the segmentation mask."
+    else:
+        if expr and expr[0].islower() and expr.endswith("."):
+            expr = expr[:-1]
+        q = f"Can you segment the {expr.lower()} in this video?"
     return [
         ChatMessage("user", [
             {"type": "video"},

@@ -113,3 +113,15 @@ def test_segment_video_multi_matches_single(segmentor):
     for ei, expr in enumerate(exprs):
         single = segmentor.segment_video(frames, expr)
         np.testing.assert_array_equal(multi[ei], single)
+
+
+def test_seg_messages_question_form_heuristic():
+    """Question queries keep their phrasing (ref app.py:393-401)."""
+    msgs = build_seg_messages("which animal is chasing the ball?")
+    text = msgs[0].content[1]["text"]
+    assert text.startswith("which animal is chasing the ball?")
+    assert "output the segmentation mask" in text
+    # trailing-period declarative gets normalized
+    msgs2 = build_seg_messages("the running dog.")
+    assert "the running dog" in msgs2[0].content[1]["text"]
+    assert "the running dog." not in msgs2[0].content[1]["text"]
