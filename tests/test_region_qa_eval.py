@@ -1,0 +1,108 @@
+"""VideoRefer-Bench-Q / ViP-Bench eval drivers (ref
+evaluation/videorefer_bench/eval_videorefer_bench_q.py,
+evaluation/vipbench/evaluator.py)."""
+import json
+
+import numpy as np
+import pytest
+
+from rga3_tpu.evaluation.region_qa_eval import (
+    eval_videorefer,
+    eval_vipbench_with_judge,
+    run_videorefer_inference,
+    run_vipbench_inference,
+    suppress_token_ids,
+)
+
+
+class FakeChat:
+    def __init__(self, answers):
+        self.answers = list(answers)
+        self.calls = []
+
+    def answer(self, question, video_frames=None, images=None,
+               suppress_ids=()):
+        self.calls.append({
+            "question": question,
+            "n_frames": len(video_frames or []),
+            "suppress_ids": list(suppress_ids),
+        })
+        return self.answers.pop(0)
+
+
+def test_eval_videorefer_per_type_accuracy(tmp_path):
+    path = tmp_path / "preds.jsonl"
+    rows = [
+        {"id": 1, "pred": "(A) the cat", "Answer": "A", "type": "basic"},
+        {"id": 2, "pred": "B", "Answer": "B", "type": "basic"},
+        {"id": 3, "pred": "The answer is (C).", "Answer": "D",
+         "type": "reason"},
+    ]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    scores = eval_videorefer(str(path))
+    assert scores["basic"] == 1.0
+    assert scores["reason"] == 0.0
+    assert abs(scores["overall"] - 2 / 3) < 1e-9
+
+
+def test_videorefer_inference_overlays_and_resumes(tmp_path):
+    rng = np.random.default_rng(0)
+    mask = np.zeros((40, 50), np.uint8)
+    mask[10:30, 15:35] = 1
+    items = [{
+        "id": "q1",
+        "frames": [
+            rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+            for _ in range(2)
+        ],
+        "question": "What is in the region?",
+        "answer": "A",
+        "type": "basic",
+        "mask": mask,
+        "key_idx": 0,
+    }]
+    chat = FakeChat(["(A)"])
+    out = tmp_path / "vr.jsonl"
+    n = run_videorefer_inference(chat, items, str(out), use_stom=False)
+    assert n == 1
+    assert chat.calls[0]["n_frames"] == 2
+    # idempotent resume: the item id is already recorded
+    n2 = run_videorefer_inference(
+        FakeChat([]), items, str(out), use_stom=False
+    )
+    assert n2 == 0
+    assert eval_videorefer(str(out))["overall"] == 1.0
+
+
+def test_vipbench_suppression_and_judge(tmp_path):
+    class Tok:
+        def __call__(self, w, add_special_tokens=False):
+            return {"input_ids": [len(w), 7]}
+
+    sup = suppress_token_ids(Tok())
+    assert 7 in sup and len("[SEG]") in sup
+
+    rng = np.random.default_rng(1)
+    items = [{
+        "id": 5,
+        "image": rng.integers(0, 255, (30, 30, 3), dtype=np.uint8),
+        "question": "Describe the marked region.",
+    }]
+    chat = FakeChat(["a red square"])
+    out = tmp_path / "vip.json"
+    n = run_vipbench_inference(chat, items, str(out), tokenizer=Tok())
+    assert n == 1
+    assert chat.calls[0]["suppress_ids"] == sup
+    assert run_vipbench_inference(
+        FakeChat([]), items, str(out), tokenizer=Tok()
+    ) == 0
+
+    scores = eval_vipbench_with_judge(
+        str(out),
+        gts={"5": {"question": "q", "answer": "red square"}},
+        judge_fn=lambda q, gt, pred: 8.0,
+        runs=3,
+    )
+    assert scores == {"score": 8.0, "n": 1}
