@@ -47,8 +47,9 @@ def main():
     model = Sam2Model(cfg)
     rng = np.random.default_rng(0)
 
-    B = 8  # frames per jitted call (batched decode amortizes dispatch and
+    # frames per jitted call (batched decode amortizes dispatch and
     # fills the MXU better; ~46s compile for this graph on this backend)
+    B = int(os.environ.get("RGA3_BENCH_FRAMES", "8"))
     frames = jnp.asarray(
         rng.normal(size=(B, cfg.image_size, cfg.image_size, 3)).astype(
             np.float32

@@ -147,7 +147,9 @@ class MultiScaleBlock(nn.Module):
         hidden = nn.Dense(
             int(self.dim_out * cfg.mlp_ratio), name="mlp_layers_0"
         )(normed2)
-        hidden = nn.gelu(hidden, approximate=False)
+        from ...ops.fused_block import GELU_TANH
+
+        hidden = nn.gelu(hidden, approximate=GELU_TANH)
         out2 = nn.Dense(self.dim_out, name="mlp_layers_1")(hidden)
         return x + out2
 
