@@ -40,6 +40,9 @@ class QwenVisionConfig(ConfigBase):
     # blocks are selected by a scanned per-block boolean (window/full
     # attention differ only in which segment-id vector they use)
     scan_blocks: bool = False
+    # int8 weight-only vision blocks (patch embed + merger stay float);
+    # convert trees with ops.quant.quantize_qwen_params(include_vision=True)
+    quant_int8: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -64,21 +64,21 @@ class QuantDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        wq = self.param(
-            "kernel_q",
-            nn.with_logical_partitioning(
+        if self.kernel_axes:
+            k_init = nn.with_logical_partitioning(
                 nn.initializers.zeros, self.kernel_axes
-            ),
-            (x.shape[-1], self.features),
-            jnp.int8,
+            )
+            s_init = nn.with_logical_partitioning(
+                nn.initializers.ones, self.kernel_axes[-1:]
+            )
+        else:  # vision tower layers carry no logical axes
+            k_init = nn.initializers.zeros
+            s_init = nn.initializers.ones
+        wq = self.param(
+            "kernel_q", k_init, (x.shape[-1], self.features), jnp.int8
         )
         scale = self.param(
-            "scale",
-            nn.with_logical_partitioning(
-                nn.initializers.ones, self.kernel_axes[-1:]
-            ),
-            (self.features,),
-            jnp.float32,
+            "scale", s_init, (self.features,), jnp.float32
         )
         from ...ops.quant import int8_matmul
 

@@ -155,11 +155,18 @@ class VisionBlock(nn.Module):
         l, d = x.shape
         h, hd = cfg.num_heads, cfg.head_dim
 
+        def dense(name, features):
+            if cfg.quant_int8:
+                from .language import QuantDense
+
+                return QuantDense(features, use_bias=True, name=name)
+            return nn.Dense(
+                features, use_bias=True, dtype=x.dtype,
+                param_dtype=jnp.float32, name=name,
+            )
+
         normed = VisionRMSNorm(cfg.rms_norm_eps, name="norm1")(x)
-        qkv = nn.Dense(
-            3 * d, use_bias=True, dtype=x.dtype, param_dtype=jnp.float32,
-            name="attn_qkv",
-        )(normed)
+        qkv = dense("attn_qkv", 3 * d)(normed)
         q, k, v = jnp.split(qkv.reshape(l, 3, h, hd), 3, axis=1)
         q, k, v = q[:, 0], k[:, 0], v[:, 0]  # (L, H, hd)
         q = apply_rope(q[None], cos[None], sin[None])[0]
@@ -168,25 +175,13 @@ class VisionBlock(nn.Module):
             q[None], k[None], v[None],
             causal=False, segment_ids=segment_ids[None],
         )[0]
-        attn = nn.Dense(
-            d, use_bias=True, dtype=x.dtype, param_dtype=jnp.float32,
-            name="attn_proj",
-        )(attn.reshape(l, d))
+        attn = dense("attn_proj", d)(attn.reshape(l, d))
         x = x + attn
 
         normed = VisionRMSNorm(cfg.rms_norm_eps, name="norm2")(x)
-        gate = nn.Dense(
-            cfg.intermediate_size, use_bias=True, dtype=x.dtype,
-            param_dtype=jnp.float32, name="mlp_gate",
-        )(normed)
-        up = nn.Dense(
-            cfg.intermediate_size, use_bias=True, dtype=x.dtype,
-            param_dtype=jnp.float32, name="mlp_up",
-        )(normed)
-        down = nn.Dense(
-            d, use_bias=True, dtype=x.dtype, param_dtype=jnp.float32,
-            name="mlp_down",
-        )(nn.silu(gate) * up)
+        gate = dense("mlp_gate", cfg.intermediate_size)(normed)
+        up = dense("mlp_up", cfg.intermediate_size)(normed)
+        down = dense("mlp_down", d)(nn.silu(gate) * up)
         return x + down
 
 

@@ -46,10 +46,17 @@ QWEN_QUANT_KEYS = (
     "q_proj", "k_proj", "v_proj", "o_proj",
     "gate_proj", "up_proj", "down_proj", "lm_head",
 )
+# Vision-tower blocks (QwenVisionConfig.quant_int8); patch embed and the
+# merger stay float.
+VISION_QUANT_KEYS = (
+    "attn_qkv", "attn_proj", "mlp_gate", "mlp_up", "mlp_down",
+)
 
 
 def quantize_qwen_params(
-    params: Dict[str, Any], keys: Sequence[str] = QWEN_QUANT_KEYS
+    params: Dict[str, Any],
+    keys: Sequence[str] = QWEN_QUANT_KEYS,
+    include_vision: bool = False,
 ) -> Dict[str, Any]:
     """Walk a QwenForCausalLM params tree and replace each targeted Dense
     `{kernel}` with `{kernel_q, scale}`. Works for both unrolled
@@ -58,6 +65,8 @@ def quantize_qwen_params(
     from flax.core import meta
 
     params = meta.unbox(params)
+    if include_vision:
+        keys = tuple(keys) + VISION_QUANT_KEYS
 
     def walk(node, name):
         if isinstance(node, dict):

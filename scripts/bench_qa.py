@@ -51,7 +51,9 @@ def main():
     }[args.size]
     qcfg = qcfg.replace(
         text=qcfg.text.replace(scan_layers=True, quant_int8=args.int8),
-        vision=qcfg.vision.replace(scan_blocks=True),
+        vision=qcfg.vision.replace(
+            scan_blocks=True, quant_int8=args.int8
+        ),
     )
     model = Qwen25VL(qcfg)
     vcfg = qcfg.vision
@@ -83,7 +85,10 @@ def main():
     )
 
     # random bf16 params on device; int8 tree transform afterwards
-    init_cfg = qcfg.replace(text=qcfg.text.replace(quant_int8=False))
+    init_cfg = qcfg.replace(
+        text=qcfg.text.replace(quant_int8=False),
+        vision=qcfg.vision.replace(quant_int8=False),
+    )
     init_model = Qwen25VL(init_cfg)
     shapes = jax.eval_shape(
         lambda k: init_model.init(
@@ -104,7 +109,11 @@ def main():
         if args.int8:
             from rga3_tpu.ops.quant import quantize_qwen_params
 
-            return {"params": quantize_qwen_params(fp["params"])}
+            return {
+                "params": quantize_qwen_params(
+                    fp["params"], include_vision=True
+                )
+            }
         return fp
 
     t0 = time.time()

@@ -43,7 +43,10 @@ def build_segmentor(args):
             "tiny": tiny_config()}[size]
     int8 = bool(getattr(args, "int8", False))
     if int8:
-        qcfg = qcfg.replace(text=qcfg.text.replace(quant_int8=True))
+        qcfg = qcfg.replace(
+            text=qcfg.text.replace(quant_int8=True),
+            vision=qcfg.vision.replace(quant_int8=True),
+        )
     scfg = SAM2_HIERA_L if size != "tiny" else tiny_sam2_config()
     cfg = UniGRConfig(
         qwen=qcfg, sam2=scfg,
@@ -88,7 +91,7 @@ def build_segmentor(args):
         from rga3_tpu.ops.quant import quantize_qwen_params
 
         params["params"]["qwen"] = quantize_qwen_params(
-            params["params"]["qwen"]
+            params["params"]["qwen"], include_vision=True
         )
     return UniGRSegmentor(
         model, params, processor,

@@ -92,3 +92,65 @@ def test_quantized_scan_layers_decode():
     )
     assert out2["logits"].shape == (1, 1, 1000)
     assert int(out2["cache"]["idx"]) == 9
+
+
+def test_vision_tower_int8():
+    """include_vision quantizes the ViT blocks too; logits on a vision
+    prompt stay close and the tree holds int8 vision kernels."""
+    from rga3_tpu.models.qwen25vl.model import Qwen25VL
+    from rga3_tpu.models.qwen25vl.vision import (
+        compute_vision_layout, layout_device_args,
+    )
+
+    cfg = tiny_config(vocab_size=1000)
+    qcfg = cfg.replace(
+        text=cfg.text.replace(quant_int8=True),
+        vision=cfg.vision.replace(quant_int8=True),
+    )
+    fp = Qwen25VL(cfg)
+    qm = Qwen25VL(qcfg)
+    rng = np.random.default_rng(5)
+
+    vcfg = cfg.vision
+    grid = (1, 4, 4)
+    n_patches = 16
+    layout = compute_vision_layout([grid], vcfg)
+    la = layout_device_args(layout, vcfg)
+    patches = jnp.asarray(
+        rng.normal(
+            size=(n_patches,
+                  3 * vcfg.temporal_patch_size * vcfg.patch_size**2)
+        ).astype(np.float32)
+    )
+    from rga3_tpu.models.qwen25vl.config import IMAGE_PAD_TOKEN_ID
+
+    ids = rng.integers(1, 900, (1, 12)).astype(np.int32)
+    ids[0, 3:7] = IMAGE_PAD_TOKEN_ID  # 16 patches -> 4 merged tokens
+    ids = jnp.asarray(ids)
+
+    params = fp.init(
+        jax.random.PRNGKey(0), input_ids=ids, pixel_patches=patches,
+        vision_layout=la,
+    )
+    qparams = {
+        "params": quantize_qwen_params(
+            params["params"], include_vision=True
+        )
+    }
+    blocks = qparams["params"]["visual"]
+    # find an int8 vision kernel
+    flat = jax.tree_util.tree_leaves_with_path(blocks)
+    assert any(
+        "kernel_q" in jax.tree_util.keystr(k) for k, _ in flat
+    )
+
+    out_fp = fp.apply(
+        params, input_ids=ids, pixel_patches=patches, vision_layout=la
+    )["logits"]
+    out_q = qm.apply(
+        qparams, input_ids=ids, pixel_patches=patches, vision_layout=la
+    )["logits"]
+    rel = float(
+        jnp.linalg.norm(out_q - out_fp) / (jnp.linalg.norm(out_fp) + 1e-9)
+    )
+    assert rel < 0.06, rel
