@@ -31,10 +31,15 @@ def build_seg_messages(expression: str) -> List[ChatMessage]:
     ref app.py:393-401)."""
     expr = expression.strip()
     if expr.endswith("?"):
-        q = f"{expr} Please output the segmentation mask."
+        # training-template phrasing (LONG_QUESTION_LIST,
+        # utils.py:29/templates.py — no "the")
+        q = f"{expr} Please output segmentation mask."
     else:
-        if expr and expr[0].islower() and expr.endswith("."):
-            expr = expr[:-1]
+        # strip trailing periods unconditionally: the expression is
+        # lowercased into a mid-sentence slot either way (the reference
+        # only strips for lowercase-initial queries, leaving capitalized
+        # annotations with a stray mid-sentence period)
+        expr = expr.rstrip(".")
         q = f"Can you segment the {expr.lower()} in this video?"
     return [
         ChatMessage("user", [

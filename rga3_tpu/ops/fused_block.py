@@ -46,8 +46,9 @@ GELU_TANH = _os.environ.get("RGA3_GELU_EXACT", "") != "1"
 
 def _gelu_f32(x):
     if GELU_TANH:
-        c = math.sqrt(2.0 / math.pi)
-        return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+        # same tanh form _reference_block uses via jax.nn.gelu — one
+        # source of truth for kernel forward and reference backward
+        return jax.nn.gelu(x, approximate=True)
     return 0.5 * x * (1.0 + _erf_poly(x * (1.0 / math.sqrt(2.0))))
 
 
@@ -126,7 +127,7 @@ def _fused_kernel(
     ).astype(xb.dtype)
     y = xb + proj
 
-    # --- LN2 + MLP (exact GELU) + residual ---
+    # --- LN2 + MLP (GELU, see GELU_TANH) + residual ---
     ln2 = _layernorm(
         y.astype(jnp.float32), ln2_g[0].astype(jnp.float32),
         ln2_b[0].astype(jnp.float32), eps,
@@ -135,7 +136,6 @@ def _fused_kernel(
         jax.lax.dot(ln2, w1[...], preferred_element_type=jnp.float32)
         + b1[0].astype(jnp.float32)
     ).astype(xb.dtype)
-    # exact GELU via polynomial erf (Mosaic lowers neither erf nor erfc)
     h1f = h1.astype(jnp.float32)
     g = _gelu_f32(h1f).astype(xb.dtype)
     h2 = (

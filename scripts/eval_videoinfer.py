@@ -69,7 +69,7 @@ def main():
     p.add_argument("--use_stom", action="store_true")
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--int8", action="store_true",
-                   help="int8 weight-only LLM (ops.quant)")
+                   help="int8 weight-only LLM + vision tower (ops.quant)")
     args = p.parse_args()
 
     from rga3_tpu.evaluation import videoinfer_eval as vi

@@ -114,7 +114,7 @@ def main():
     p.add_argument("--subset_num", type=int, default=1)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--int8", action="store_true",
-                   help="int8 weight-only LLM (ops.quant)")
+                   help="int8 weight-only LLM + vision tower (ops.quant)")
     args = p.parse_args()
 
     from rga3_tpu.evaluation.video_seg_eval import run_eval, run_inference

@@ -20,7 +20,7 @@ def main():
     p.add_argument("--model_size", choices=["3b", "7b"], default="7b")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--int8", action="store_true",
-                   help="int8 weight-only LLM (ops.quant)")
+                   help="int8 weight-only LLM + vision tower (ops.quant)")
     args = p.parse_args()
 
     from rga3_tpu.serve.app import UniGRService, serve

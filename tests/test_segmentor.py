@@ -120,7 +120,8 @@ def test_seg_messages_question_form_heuristic():
     msgs = build_seg_messages("which animal is chasing the ball?")
     text = msgs[0].content[1]["text"]
     assert text.startswith("which animal is chasing the ball?")
-    assert "output the segmentation mask" in text
+    # training-template phrasing (LONG_QUESTION_LIST: no "the")
+    assert "Please output segmentation mask." in text
     # trailing-period declarative gets normalized
     msgs2 = build_seg_messages("the running dog.")
     assert "the running dog" in msgs2[0].content[1]["text"]
