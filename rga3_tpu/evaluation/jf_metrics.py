@@ -135,6 +135,43 @@ def db_eval_boundary(
     return f_measure(segmentation, annotation, void_pixels, bound_th)
 
 
+def r2vos_accuracy(
+    gt_masks: np.ndarray, pred_masks: np.ndarray
+) -> np.ndarray:
+    """Per-frame pixel accuracy mean(gt == pred)
+    (ref: evaluation/revos/metrics.py:6-21 get_r2vos_accuracy)."""
+    gt_masks = np.asarray(gt_masks)
+    pred_masks = np.asarray(pred_masks)
+    assert gt_masks.shape == pred_masks.shape, (
+        gt_masks.shape, pred_masks.shape,
+    )
+    flat = (gt_masks.astype(np.uint8) == pred_masks.astype(np.uint8))
+    return flat.reshape(flat.shape[0], -1).mean(axis=1).astype(np.float64)
+
+
+def r2vos_robustness(
+    gt_masks: np.ndarray,
+    pred_masks: np.ndarray,
+    foreground_masks: np.ndarray,
+) -> np.ndarray:
+    """Per-frame hallucination robustness: max(1 - FP/(fg + 1e-6), 0),
+    where FP = predicted pixels outside the GT and fg = the video's
+    foreground-mask area (ref: evaluation/revos/metrics.py:23-41
+    get_r2vos_robustness)."""
+    gt_masks = np.asarray(gt_masks)
+    pred_masks = np.asarray(pred_masks)
+    foreground_masks = np.asarray(foreground_masks)
+    assert (
+        gt_masks.shape == pred_masks.shape == foreground_masks.shape
+    ), (gt_masks.shape, pred_masks.shape, foreground_masks.shape)
+    out = []
+    for gt, pred, fore in zip(gt_masks, pred_masks, foreground_masks):
+        neg = ((1 - gt.astype(np.int64)) * pred.astype(np.int64)).sum()
+        pos = fore.astype(np.int64).sum()
+        out.append(max(1.0 - neg / (pos + 1e-6), 0.0))
+    return np.asarray(out, np.float64)
+
+
 def jf_score(
     annotations: np.ndarray, segmentations: np.ndarray
 ) -> dict:

@@ -25,22 +25,52 @@ from ..models.unigr.model import UniGR
 from ..data.datasets.base import sam_preprocess_frame
 
 
-def build_seg_messages(expression: str) -> List[ChatMessage]:
-    """Teacher-forced [SEG] conversation (ref inference_mevis.py:194-202;
-    question-form queries keep their phrasing per the demo heuristic,
-    ref app.py:393-401)."""
-    expr = expression.strip()
+def eval_seg_question(
+    expression: str,
+    benchmark: Optional[str] = None,
+    is_sent: bool = False,
+) -> str:
+    """Exact per-benchmark eval question the reference drivers build.
+
+    - mevis / ytvos / davis: "Please segment the {lower(exp)} in this
+      image." (ref inference_mevis.py:191-192, inference_refytvos.py:161-162,
+      inference_davis.py:163-164)
+    - revos: '?'-queries keep their phrasing + " Please output the
+      segmentation mask."; otherwise a lowercase-initial trailing '.' is
+      stripped before the segment template (ref inference_revos.py:171-180)
+    - reasonvos: metadata `is_sent` selects "{exp}. Please output the
+      segmentation mask." (ref inference_reason_vos.py:169-174)
+    - None (demo heuristic, ref app.py:393-401): question-form queries keep
+      their phrasing with the training LONG_QUESTION_LIST suffix; otherwise
+      "Can you segment the … in this video?".
+    """
+    expr = expression
+    if benchmark == "revos":
+        if expr and expr[-1] == "?":
+            return f"{expr} Please output the segmentation mask."
+        if expr and expr[0].islower() and expr.endswith("."):
+            expr = expr[:-1]
+        return f"Please segment the {expr.lower()} in this image."
+    if benchmark == "reasonvos":
+        if is_sent:
+            return f"{expr}. Please output the segmentation mask."
+        return f"Please segment the {expr.lower()} in this image."
+    if benchmark in ("mevis", "ytvos", "davis"):
+        return f"Please segment the {expr.lower()} in this image."
+    # demo heuristic (benchmark=None)
+    expr = expr.strip()
     if expr.endswith("?"):
-        # training-template phrasing (LONG_QUESTION_LIST,
-        # utils.py:29/templates.py — no "the")
-        q = f"{expr} Please output segmentation mask."
-    else:
-        # strip trailing periods unconditionally: the expression is
-        # lowercased into a mid-sentence slot either way (the reference
-        # only strips for lowercase-initial queries, leaving capitalized
-        # annotations with a stray mid-sentence period)
-        expr = expr.rstrip(".")
-        q = f"Can you segment the {expr.lower()} in this video?"
+        return f"{expr} Please output segmentation mask."
+    return f"Can you segment the {expr.rstrip('.').lower()} in this video?"
+
+
+def build_seg_messages(
+    expression: str, question: Optional[str] = None
+) -> List[ChatMessage]:
+    """Teacher-forced [SEG] conversation (ref inference_mevis.py:194-202).
+    `question` overrides the default demo-heuristic phrasing — benchmark
+    drivers pass `eval_seg_question(...)` for exact reference parity."""
+    q = question if question is not None else eval_seg_question(expression)
     return [
         ChatMessage("user", [
             {"type": "video"},
@@ -149,7 +179,9 @@ class UniGRSegmentor:
         self._sam_encode = _sam_encode
         self._sam_decode_feats = _sam_decode_feats
 
-    def _seg_embedding(self, frames, expression: str):
+    def _seg_embedding(
+        self, frames, expression: str, question: Optional[str] = None
+    ):
         """Teacher-forced LLM pass -> ([SEG] embedding (C,), has_seg)."""
         import jax.numpy as jnp
 
@@ -157,7 +189,7 @@ class UniGRSegmentor:
         sparse_idx = get_sparse_indices(t_all, self.num_frames_mllm)
         mllm_frames = [frames[i] for i in sparse_idx]
 
-        msgs = build_seg_messages(expression)
+        msgs = build_seg_messages(expression, question=question)
         enc = self.processor(
             msgs, videos=[mllm_frames], add_generation_prompt=False
         )
@@ -183,14 +215,19 @@ class UniGRSegmentor:
         self,
         frames: Sequence[np.ndarray],  # (H, W, 3) uint8 RGB, all frames
         expression: str,
+        question: Optional[str] = None,
     ) -> np.ndarray:
         """Returns (T, H, W) bool masks at the original frame size."""
-        return self.segment_video_multi(frames, [expression])[0]
+        return self.segment_video_multi(
+            frames, [expression],
+            questions=None if question is None else [question],
+        )[0]
 
     def segment_video_multi(
         self,
         frames: Sequence[np.ndarray],
         expressions: Sequence[str],
+        questions: Optional[Sequence[Optional[str]]] = None,
     ) -> np.ndarray:
         """All expressions of one video in a single pass: the SAM backbone
         encodes each frame chunk ONCE and every expression decodes against
@@ -214,7 +251,8 @@ class UniGRSegmentor:
         seg_embs = []
         active = []
         for ei, expr in enumerate(expressions):
-            emb, has_seg = self._seg_embedding(frames, expr)
+            q = questions[ei] if questions is not None else None
+            emb, has_seg = self._seg_embedding(frames, expr, question=q)
             if has_seg:
                 seg_embs.append(emb)
                 active.append(ei)
@@ -262,6 +300,20 @@ class UniGRChat:
     ):
         import jax.numpy as jnp
 
+        if not hasattr(model.cfg, "vision"):
+            # UniGR composite: QA only needs the Qwen tower, so slice the
+            # `qwen` submodule + params subtree internally (a standalone
+            # Qwen25VL with the subtree is equivalent to the bound
+            # submodule — linen modules are pure definitions)
+            from ..models.qwen25vl.model import Qwen25VL
+
+            model_q = Qwen25VL(model.cfg.qwen)
+            params = {
+                col: sub["qwen"]
+                for col, sub in params.items()
+                if isinstance(sub, dict) and "qwen" in sub
+            }
+            model = model_q
         self.model = model
         self.params = params
         self.processor = processor
@@ -294,17 +346,14 @@ class UniGRChat:
         )
         grids_v = enc.get("video_grid_thw", [])
         grids_i = enc.get("image_grid_thw", [])
+        qcfg = self.model.cfg  # always a Qwen config (composite sliced in
+        # __init__)
         pos, deltas = get_rope_index(
-            self.model.cfg if hasattr(self.model.cfg, "vision")
-            else self.model.cfg.qwen,
+            qcfg,
             enc["input_ids"],
             image_grid_thw=grids_i or None,
             video_grid_thw=grids_v or None,
             second_per_grid_ts=enc.get("second_per_grid_ts"),
-        )
-        qcfg = (
-            self.model.cfg if hasattr(self.model.cfg, "vision")
-            else self.model.cfg.qwen
         )
         layout = compute_vision_layout(
             list(grids_i) + list(grids_v), qcfg.vision
@@ -317,11 +366,6 @@ class UniGRChat:
             patches.append(enc["pixel_values_videos"])
         pp = np.concatenate(patches, 0) if patches else None
 
-        if not hasattr(self.model.cfg, "vision"):
-            raise TypeError(
-                "UniGRChat drives a Qwen25VL module; for a UniGR composite "
-                "pass model.qwen with the matching params subtree"
-            )
         toks = greedy_generate(
             self.model, self.params,
             jnp.asarray(enc["input_ids"], jnp.int32),

@@ -20,7 +20,9 @@ from .jf_metrics import db_eval_boundary, db_eval_iou
 
 
 def load_meta_expressions(ann_file: str) -> List[Dict]:
-    """Flatten meta_expressions.json into per-expression jobs."""
+    """Flatten meta_expressions.json into per-expression jobs. Carries the
+    optional ReVOS `type_id` (0 referring / 1 reason / 2 nan) and ReasonVOS
+    `is_sent` fields when present."""
     with open(ann_file) as f:
         videos = json.load(f)["videos"]
     jobs = []
@@ -33,8 +35,35 @@ def load_meta_expressions(ann_file: str) -> List[Dict]:
                 "exp": ed["exp"],
                 "anno_id": [str(a) for a in ed.get("anno_id", [])],
                 "frames": frames,
+                "type_id": ed.get("type_id"),
+                "is_sent": bool(ed.get("is_sent", False)),
             })
     return jobs
+
+
+def resolve_layout(
+    data_root: str, split: str, benchmark: str
+) -> Tuple[str, str]:
+    """(meta_expressions.json path, JPEGImages dir) for a benchmark root.
+
+    MeViS/ReVOS/ReasonVOS keep both under <root>/<split>/; the Ref-YTVOS
+    release nests expressions under <root>/meta_expressions/<split>/
+    (ref: evaluation/refytvos/inference_refytvos.py:120-122). Falls back
+    across layouts so either works for any benchmark name.
+    """
+    candidates = [
+        (os.path.join(data_root, split, "meta_expressions.json"),
+         os.path.join(data_root, split, "JPEGImages")),
+        (os.path.join(data_root, "meta_expressions", split,
+                      "meta_expressions.json"),
+         os.path.join(data_root, split, "JPEGImages")),
+    ]
+    if benchmark == "ytvos":
+        candidates.reverse()
+    for ann, frames in candidates:
+        if os.path.exists(ann):
+            return ann, frames
+    return candidates[0]
 
 
 def run_inference(
@@ -45,13 +74,21 @@ def run_inference(
     subset_idx: int = 0,
     subset_num: int = 1,
     max_jobs: Optional[int] = None,
+    benchmark: str = "mevis",
 ) -> int:
-    """Write per-frame PNG masks under out_dir/<video>/<exp_id>/."""
+    """Write per-frame PNG masks under out_dir/<video>/<exp_id>/.
+
+    `benchmark` selects the reference driver's exact prompt template and
+    annotation layout; for `ytvos` the written tree IS the server
+    submission layout (per-video/per-expression PNGs named by frame,
+    ref: evaluation/refytvos/inference_refytvos.py:140-156, 246-255).
+    """
     from PIL import Image
 
     from ..data.video import load_frames_from_dir
+    from .segmentor import eval_seg_question
 
-    ann = os.path.join(data_root, split, "meta_expressions.json")
+    ann, frames_root = resolve_layout(data_root, split, benchmark)
     jobs = load_meta_expressions(ann)
     done = 0
 
@@ -78,11 +115,16 @@ def run_inference(
             pending = pending[: max_jobs - done]
         if not pending:
             continue
-        frames = load_frames_from_dir(
-            os.path.join(data_root, split, "JPEGImages", video)
-        )
+        frames = load_frames_from_dir(os.path.join(frames_root, video))
         all_masks = segmentor.segment_video_multi(
-            frames, [job["exp"] for job in pending]
+            frames,
+            [job["exp"] for job in pending],
+            questions=[
+                eval_seg_question(
+                    job["exp"], benchmark, is_sent=job["is_sent"]
+                )
+                for job in pending
+            ],
         )
         for job, masks in zip(pending, all_masks):
             dst = os.path.join(out_dir, job["video"], job["exp_id"])
@@ -107,7 +149,9 @@ def _eval_one(args) -> Tuple[str, str, float, float]:
             mask_root, job["video"], job["exp_id"], f"{name}.png"
         )
         if os.path.exists(p):
-            preds[i] = np.asarray(Image.open(p)) > 127
+            # any nonzero value is foreground: reference drivers write
+            # 0/255 (ytvos) or 0/100 (revos) PNGs
+            preds[i] = np.asarray(Image.open(p)) > 0
     j = float(np.mean(db_eval_iou(gt_masks, preds)))
     f = float(np.mean(db_eval_boundary(gt_masks, preds)))
     return job["video"], job["exp_id"], j, f
@@ -123,33 +167,16 @@ def run_eval(
     """Compute J&F over all expressions (ref eval_mevis.py)."""
     from ..utils import rle as rle_codec
 
-    ann = os.path.join(data_root, split, "meta_expressions.json")
+    ann, _ = resolve_layout(data_root, split, "mevis")
     jobs = load_meta_expressions(ann)
     with open(os.path.join(data_root, split, mask_dict_name)) as f:
         mask_dict = json.load(f)
 
     work = []
     for job in jobs:
-        t = len(job["frames"])
-        first = None
-        for aid in job["anno_id"]:
-            annos = mask_dict.get(aid)
-            if annos:
-                for a in annos:
-                    if a is not None:
-                        first = a
-                        break
-            if first:
-                break
-        if first is None:
+        gt = _load_gt_stack(job, mask_dict, rle_codec)
+        if gt is None:
             continue
-        h, w = first["size"]
-        gt = np.zeros((t, h, w), bool)
-        for aid in job["anno_id"]:
-            annos = mask_dict.get(aid, [])
-            for i, a in enumerate(annos[:t]):
-                if a is not None:
-                    gt[i] |= rle_codec.decode(a).astype(bool)
         work.append((job, mask_root, gt))
 
     if num_workers > 1 and len(work) > 1:
@@ -166,3 +193,142 @@ def run_eval(
         "J&F": float((js.mean() + fs.mean()) / 2) if len(js) else 0.0,
         "n": len(results),
     }
+
+
+def _load_gt_stack(
+    job: Dict, mask_dict: Dict, rle_codec
+) -> Optional[np.ndarray]:
+    """Decode a (T, H, W) bool GT stack for one expression, or None if no
+    frame of any anno_id carries a mask."""
+    t = len(job["frames"])
+    first = None
+    for aid in job["anno_id"]:
+        for a in mask_dict.get(aid) or []:
+            if a is not None:
+                first = a
+                break
+        if first:
+            break
+    if first is None:
+        return None
+    h, w = first["size"]
+    gt = np.zeros((t, h, w), bool)
+    for aid in job["anno_id"]:
+        for i, a in enumerate((mask_dict.get(aid) or [])[:t]):
+            if a is not None:
+                gt[i] |= rle_codec.decode(a).astype(bool)
+    return gt
+
+
+def _eval_one_revos(args) -> Tuple[Dict, float, float, float, float]:
+    job, mask_root, gt, fore = args
+    from PIL import Image
+
+    from .jf_metrics import (
+        db_eval_boundary, db_eval_iou, r2vos_accuracy, r2vos_robustness,
+    )
+
+    t, h, w = gt.shape
+    preds = np.zeros((t, h, w), bool)
+    for i, name in enumerate(job["frames"]):
+        p = os.path.join(
+            mask_root, job["video"], job["exp_id"], f"{name}.png"
+        )
+        if os.path.exists(p):
+            preds[i] = np.asarray(Image.open(p)) > 0
+    j = float(np.mean(db_eval_iou(gt, preds)))
+    f = float(np.mean(db_eval_boundary(gt, preds)))
+    a = float(np.mean(r2vos_accuracy(gt, preds)))
+    r = float(np.mean(r2vos_robustness(gt, preds, fore)))
+    return job, j, f, a, r
+
+
+def run_eval_revos(
+    data_root: str,
+    split: str,
+    mask_root: str,
+    mask_dict_name: str = "mask_dict.json",
+    foreground_name: str = "mask_dict_foreground.json",
+    num_workers: int = 8,
+) -> Dict[str, Dict[str, float]]:
+    """ReVOS eval: J, F, per-pixel accuracy A and hallucination robustness
+    R, split by expression `type_id` (0 referring / 1 reason), with
+    `overall` = mean of the two split means
+    (ref: evaluation/revos/eval_revos.py:40-183, metrics.py:6-41).
+
+    Matches the reference's aggregation exactly (per-expression scores are
+    scaled x100 and rounded to 2 decimals before split averaging). One
+    deliberate deviation: predictions and GT are binarized before A/R —
+    the reference compares 0/100 PNG values against 0/1 decoded RLE so its
+    foreground pixels can never match (eval_revos.py:57 vs
+    inference_revos.py:271); the binarized form is what the R²VOS metric
+    definition intends.
+    """
+    from ..utils import rle as rle_codec
+
+    ann, _ = resolve_layout(data_root, split, "revos")
+    jobs = load_meta_expressions(ann)
+    md_path = os.path.join(data_root, split, mask_dict_name)
+    if not os.path.exists(md_path):
+        md_path = os.path.join(data_root, mask_dict_name)
+    fg_path = os.path.join(data_root, split, foreground_name)
+    if not os.path.exists(fg_path):
+        fg_path = os.path.join(data_root, foreground_name)
+    with open(md_path) as f:
+        mask_dict = json.load(f)
+    with open(fg_path) as f:
+        fg_dict = json.load(f)
+
+    work = []
+    for job in jobs:
+        gt = _load_gt_stack(job, mask_dict, rle_codec)
+        if gt is None:
+            continue
+        t, h, w = gt.shape
+        fore = np.zeros((t, h, w), bool)
+        fg_rles = fg_dict.get(job["video"], {}).get("masks_rle", [])
+        for i, rle in enumerate(fg_rles[:t]):
+            if rle is None:
+                continue
+            m = rle_codec.decode(rle)
+            if m.ndim == 3:  # per-object channel stack (ref :53-54)
+                m = m.sum(axis=2)
+            fore[i] = m.astype(bool)
+        work.append((job, mask_root, gt, fore))
+
+    if num_workers > 1 and len(work) > 1:
+        with mp.Pool(num_workers) as pool:
+            results = pool.map(_eval_one_revos, work)
+    else:
+        results = [_eval_one_revos(w) for w in work]
+
+    # per-expression x100 round(2) BEFORE split averaging (ref :131-135)
+    rows = [
+        {
+            "type_id": job["type_id"],
+            "J": round(100 * j, 2),
+            "F": round(100 * f, 2),
+            "A": round(100 * a, 2),
+            "R": round(100 * r, 2),
+        }
+        for job, j, f, a, r in results
+    ]
+
+    def split_mean(tid: int) -> Dict[str, float]:
+        sel = [d for d in rows if d["type_id"] == tid]
+        if not sel:
+            return {k: 0.0 for k in ("J", "F", "A", "R", "JF")}
+        out = {
+            k: float(np.mean([d[k] for d in sel]))
+            for k in ("J", "F", "A", "R")
+        }
+        out["JF"] = (out["J"] + out["F"]) / 2
+        return out
+
+    referring = split_mean(0)
+    reason = split_mean(1)
+    overall = {
+        k: (referring[k] + reason[k]) / 2 for k in ("J", "F", "A", "R", "JF")
+    }
+    return {"referring": referring, "reason": reason, "overall": overall,
+            "n": len(rows)}

@@ -104,6 +104,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--stage", choices=["infer", "eval"], required=True)
     p.add_argument("--data_root", required=True)
+    p.add_argument(
+        "--benchmark", default="mevis",
+        choices=["mevis", "revos", "reasonvos", "davis", "ytvos"],
+        help="selects the reference driver's prompt template + layout; "
+        "revos eval adds accuracy/robustness splits; ytvos is "
+        "inference-only (server-side eval, submission PNG tree)",
+    )
     p.add_argument("--split", default="valid_u")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--model_dir")
@@ -117,15 +124,37 @@ def main():
                    help="int8 weight-only LLM + vision tower (ops.quant)")
     args = p.parse_args()
 
-    from rga3_tpu.evaluation.video_seg_eval import run_eval, run_inference
+    from rga3_tpu.evaluation.video_seg_eval import (
+        run_eval, run_eval_revos, run_inference,
+    )
 
     if args.stage == "infer":
         seg = build_segmentor(args)
         n = run_inference(
             seg, args.data_root, args.split, args.out_dir,
             subset_idx=args.subset_idx, subset_num=args.subset_num,
+            benchmark=args.benchmark,
         )
         print(f"inferred {n} expressions", flush=True)
+        if args.benchmark == "ytvos":
+            print(
+                "Ref-YTVOS is server-evaluated: zip the written "
+                f"{args.out_dir} tree as Annotations/ for submission",
+                flush=True,
+            )
+    elif args.benchmark == "ytvos":
+        raise SystemExit(
+            "Ref-YTVOS has no local eval stage (server-side J&F); "
+            "run --stage infer and submit the PNG tree"
+        )
+    elif args.benchmark == "revos":
+        scores = run_eval_revos(
+            args.data_root, args.split, args.out_dir,
+            num_workers=args.num_workers,
+        )
+        print(json.dumps(scores, indent=2))
+        with open(os.path.join(args.out_dir, "revos_scores.json"), "w") as f:
+            json.dump(scores, f, indent=2)
     else:
         scores = run_eval(
             args.data_root, args.split, args.out_dir,

@@ -61,6 +61,34 @@ def test_chat_answer_returns_text(chat):
     assert len(out) > 0
 
 
+def test_chat_accepts_unigr_composite(chat):
+    """UniGRChat slices model.qwen + params subtree internally so QA
+    drivers pass the composite directly."""
+    from rga3_tpu.config import SegHeadConfig
+    from rga3_tpu.models.sam2 import tiny_sam2_config
+    from rga3_tpu.models.unigr import UniGR, UniGRConfig
+
+    c, frames = chat
+    cfg = UniGRConfig(
+        qwen=tiny_config(vocab_size=152_000),
+        sam2=tiny_sam2_config(image_size=64).replace(d_model=32),
+        seg=SegHeadConfig(out_dim=32, seg_token_id=151665),
+    )
+    model = UniGR(cfg)
+    ids = np.zeros((1, 8), np.int32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 1, 32)),
+        jnp.asarray(ids),
+    )
+    proc = c.processor
+    chat2 = UniGRChat(model, params, proc, max_new_tokens=2,
+                      compute_dtype=jnp.float32)
+    out = chat2.answer("What is shown?", video_frames=frames)
+    assert isinstance(out, str) and len(out) > 0
+
+
 def test_chat_suppress_ids_respected(chat):
     c, frames = chat
     base = c.answer("What is shown?", video_frames=frames)
