@@ -28,6 +28,11 @@ class HieraConfig(ConfigBase):
     patch_kernel: int = 7
     patch_stride: int = 4
     patch_padding: int = 3
+    # GELU variant in the MLP: tanh approximation (True, the v5e-tuned
+    # choice, +10% decode fps) or exact erf (False). Captured in saved
+    # configs so train/eval always agree; RGA3_GELU_EXACT=1/0 overrides
+    # process-wide (ops.fused_block.gelu_variant).
+    gelu_tanh: bool = True
     # block-diagonal Pallas kernel for non-pooling windowed blocks
     # (fallback switch for A/B benchmarking and debugging)
     use_window_kernel: bool = True

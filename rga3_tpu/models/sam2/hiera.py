@@ -147,9 +147,9 @@ class MultiScaleBlock(nn.Module):
         hidden = nn.Dense(
             int(self.dim_out * cfg.mlp_ratio), name="mlp_layers_0"
         )(normed2)
-        from ...ops.fused_block import GELU_TANH
+        from ...ops.fused_block import gelu_variant
 
-        hidden = nn.gelu(hidden, approximate=GELU_TANH)
+        hidden = nn.gelu(hidden, approximate=gelu_variant(cfg.gelu_tanh))
         out2 = nn.Dense(self.dim_out, name="mlp_layers_1")(hidden)
         return x + out2
 
@@ -197,7 +197,10 @@ class MultiScaleBlock(nn.Module):
         params = self._block_params(x)
         b, h, w, d = x.shape
         tokens = x.reshape(b, h * w, d)
-        out = fused_global_block(tokens, params, num_heads=self.num_heads)
+        out = fused_global_block(
+            tokens, params, num_heads=self.num_heads,
+            gelu_tanh=self.cfg.gelu_tanh,
+        )
         return out.reshape(b, h, w, d)
 
     def _fused(self, x: jnp.ndarray, split: bool = False) -> jnp.ndarray:
@@ -220,6 +223,7 @@ class MultiScaleBlock(nn.Module):
             # blocks sized for the 16 MB scoped-vmem limit at D=1152
             out = fused_window_block_split(
                 tokens, params, num_heads=self.num_heads, window=window,
+                gelu_tanh=self.cfg.gelu_tanh,
             )
         else:
             # block == window is mask-free; larger windows already fill
@@ -230,7 +234,7 @@ class MultiScaleBlock(nn.Module):
                 block_q = self.cfg.fused_block_q_small
             out = fused_window_block(
                 tokens, params, num_heads=self.num_heads, window=window,
-                block_q=block_q,
+                block_q=block_q, gelu_tanh=self.cfg.gelu_tanh,
             )
         out = out.reshape(b * n_win, ws, ws, d)
         return window_unpartition(out, ws, pad_hw, (h, w))

@@ -43,6 +43,12 @@ class RoPEAttention(nn.Module):
         num_k_exclude_rope: int = 0,
         k_valid: Optional[jnp.ndarray] = None,  # (B, Lk) bool
     ) -> jnp.ndarray:
+        # Contract: every batch row must have >= 1 valid key. The flash
+        # path returns zeros for a row whose keys are ALL invalid while
+        # the dense fallback's -1e30 masking degenerates to mean(V), so
+        # the two branches would disagree there. Callers satisfy this by
+        # construction: track_video always keeps the cond-frame memory
+        # slot valid (models/sam2/video.py ring-buffer seeding).
         cfg = self.cfg
         d = cfg.d_model
         q = nn.Dense(d, name="q_proj")(q)

@@ -385,10 +385,35 @@ def _bundled_flash(q, k, v, q_seg, kv_seg, causal, scale):
 
     b, lq, h, d = q.shape
     lk = k.shape[1]
-    # BHLD layout; pad head dim to a lane multiple and seq lens to 128s
-    qt = _pad_to(_pad_to(q.transpose(0, 2, 1, 3), 3, 128), 2, 128)
-    kt = _pad_to(_pad_to(k.transpose(0, 2, 1, 3), 3, 128), 2, 128)
-    vt = _pad_to(_pad_to(v.transpose(0, 2, 1, 3), 3, 128), 2, 128)
+    # BHLD layout; pad head dim to a lane multiple first
+    qt = _pad_to(q.transpose(0, 2, 1, 3), 3, 128)
+    kt = _pad_to(k.transpose(0, 2, 1, 3), 3, 128)
+    vt = _pad_to(v.transpose(0, 2, 1, 3), 3, 128)
+    # choose block sizes BEFORE seq padding, then pad each seq dim to a
+    # multiple of its block: the upstream kernel requires
+    # seq_len % block == 0, and a 128-padded length like 640 would fail
+    # the divisibility check with a 512 block
+    block_q_mult, block_k_mult = 128, 128
+    block_sizes = None
+    if qt.shape[3] > 128 and q.dtype == jnp.float32:
+        # wide heads + f32: shrink tiles to stay under the 16MB scoped
+        # VMEM (mirrors the forward wrapper's guard)
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+        )
+
+        blk_q = min(512, -(-lq // 128) * 128)
+        blk_k = min(512, -(-lk // 128) * 128)
+        block_q_mult, block_k_mult = blk_q, blk_k
+        block_sizes = BlockSizes(
+            block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
+            block_q_major_dkv=blk_q, block_k_major_dkv=blk_k,
+            block_k_dkv=blk_k, block_q_dkv=blk_q,
+            block_k_major_dq=blk_k, block_k_dq=blk_k, block_q_dq=blk_q,
+        )
+    qt = _pad_to(qt, 2, block_q_mult)
+    kt = _pad_to(kt, 2, block_k_mult)
+    vt = _pad_to(vt, 2, block_k_mult)
     lq_p, lk_p = qt.shape[2], kt.shape[2]
     if q_seg is None:
         q_seg = jnp.zeros((b, lq), jnp.int32)
@@ -401,22 +426,6 @@ def _bundled_flash(q, k, v, q_seg, kv_seg, causal, scale):
         kv_seg.astype(jnp.int32), ((0, 0), (0, lk_p - lk)),
         constant_values=-1,
     )
-    block_sizes = None
-    if qt.shape[3] > 128 and q.dtype == jnp.float32:
-        # wide heads + f32: shrink tiles to stay under the 16MB scoped
-        # VMEM (mirrors the forward wrapper's guard)
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes,
-        )
-
-        blk_q = min(512, lq_p)
-        blk_k = min(512, lk_p)
-        block_sizes = BlockSizes(
-            block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
-            block_q_major_dkv=blk_q, block_k_major_dkv=blk_k,
-            block_k_dkv=blk_k, block_q_dkv=blk_q,
-            block_k_major_dq=blk_k, block_k_dq=blk_k, block_q_dq=blk_q,
-        )
     out = pallas_flash(
         qt, kt, vt,
         segment_ids=SegmentIds(q=q_seg_p, kv=kv_seg_p),

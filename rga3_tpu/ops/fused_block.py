@@ -2,7 +2,7 @@
 
 One kernel for the Hiera non-pooling windowed block — LN1 -> qkv ->
 block-diagonal window attention -> proj -> residual -> LN2 -> MLP (GELU,
-see GELU_TANH below) -> residual — with every intermediate kept in VMEM
+variant per gelu_variant below) -> residual — with every intermediate kept in VMEM
 and the weights
 resident across grid steps (constant BlockSpec index map). Replaces the
 per-op XLA graph where each of ~10 ops round-trips activations through
@@ -33,19 +33,28 @@ from jax.experimental import pallas as pl
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
-# GELU inside the fused kernels: tanh approximation by default
-# (RGA3_GELU_EXACT=1 restores the erf polynomial). The kernels cast the
-# GELU output to bf16 (~4e-3 relative rounding) so the tanh deviation
-# (~3e-4 absolute) is an order of magnitude below the quantization
-# already applied; the VPU saving is large — interleaved A/B on v5e
-# measures the SAM2 decode bench at 46.4 vs 42.0 fps (+10.5%).
+# GELU inside the fused kernels: tanh approximation by default — the
+# HieraConfig.gelu_tanh field is the source of truth (captured in saved
+# configs); RGA3_GELU_EXACT=1/0 is a process-wide override for A/B runs.
+# The kernels cast the GELU output to bf16 (~4e-3 relative rounding) so
+# the tanh deviation (~3e-4 absolute) is an order of magnitude below the
+# quantization already applied; the VPU saving is large — interleaved A/B
+# on v5e measures the SAM2 decode bench at 46.4 vs 42.0 fps (+10.5%).
 import os as _os
 
-GELU_TANH = _os.environ.get("RGA3_GELU_EXACT", "") != "1"
+
+def gelu_variant(cfg_tanh: Optional[bool] = None) -> bool:
+    """Resolve the GELU variant: env override > config field > tanh."""
+    env = _os.environ.get("RGA3_GELU_EXACT", "")
+    if env == "1":
+        return False
+    if env == "0":
+        return True
+    return True if cfg_tanh is None else bool(cfg_tanh)
 
 
-def _gelu_f32(x):
-    if GELU_TANH:
+def _gelu_f32(x, tanh: bool = True):
+    if tanh:
         # same tanh form _reference_block uses via jax.nn.gelu — one
         # source of truth for kernel forward and reference backward
         return jax.nn.gelu(x, approximate=True)
@@ -75,7 +84,7 @@ def _fused_kernel(
     x_ref, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj,
     ln2_g, ln2_b, w1, b1, w2, b2, o_ref,
     *, num_heads: int, head_dim: int, window: int, block_q: int,
-    eps: float, scale: float,
+    eps: float, scale: float, gelu_tanh: bool,
 ):
     xb = x_ref[0]  # (block_q, D) bf16
     d = xb.shape[-1]
@@ -127,7 +136,7 @@ def _fused_kernel(
     ).astype(xb.dtype)
     y = xb + proj
 
-    # --- LN2 + MLP (GELU, see GELU_TANH) + residual ---
+    # --- LN2 + MLP (GELU, variant per gelu_tanh) + residual ---
     ln2 = _layernorm(
         y.astype(jnp.float32), ln2_g[0].astype(jnp.float32),
         ln2_b[0].astype(jnp.float32), eps,
@@ -137,7 +146,7 @@ def _fused_kernel(
         + b1[0].astype(jnp.float32)
     ).astype(xb.dtype)
     h1f = h1.astype(jnp.float32)
-    g = _gelu_f32(h1f).astype(xb.dtype)
+    g = _gelu_f32(h1f, gelu_tanh).astype(xb.dtype)
     h2 = (
         jax.lax.dot(g, w2[...], preferred_element_type=jnp.float32)
         + b2[0].astype(jnp.float32)
@@ -148,12 +157,13 @@ def _fused_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_heads", "window", "block_q", "eps", "scale", "interpret"
+        "num_heads", "window", "block_q", "eps", "scale", "interpret",
+        "gelu_tanh",
     ),
 )
 def _fused_call(
     x, ln1_g, ln1_b, wqkv, bqkv, wproj, bproj, ln2_g, ln2_b, w1, b1, w2, b2,
-    *, num_heads, window, block_q, eps, scale, interpret,
+    *, num_heads, window, block_q, eps, scale, interpret, gelu_tanh=True,
 ):
     b, l, d = x.shape
     hd = d // num_heads
@@ -165,7 +175,7 @@ def _fused_call(
 
     kernel = functools.partial(
         _fused_kernel, num_heads=num_heads, head_dim=hd, window=window,
-        block_q=block_q, eps=eps, scale=scale,
+        block_q=block_q, eps=eps, scale=scale, gelu_tanh=gelu_tanh,
     )
     return pl.pallas_call(
         kernel,
@@ -189,7 +199,8 @@ def _fused_call(
 
 
 def _reference_block(
-    x, p, *, num_heads: int, window: int, eps: float, scale: float
+    x, p, *, num_heads: int, window: int, eps: float, scale: float,
+    gelu_tanh: bool = True,
 ):
     """Pure-XLA mirror of the fused kernel (CPU fallback + test oracle).
     Matches hiera.MultiScaleBlock's math for dim==dim_out, no q-pool."""
@@ -218,13 +229,14 @@ def _reference_block(
     y = x + proj
     ln2 = ln(y, p["ln2_g"], p["ln2_b"])
     h1 = ((ln2 @ p["w1"]).astype(jnp.float32) + p["b1"]).astype(x.dtype)
-    g = jax.nn.gelu(h1, approximate=GELU_TANH)
+    g = jax.nn.gelu(h1, approximate=gelu_tanh)
     h2 = ((g @ p["w2"]).astype(jnp.float32) + p["b2"]).astype(x.dtype)
     return y + h2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _fused_block_tpu(x, params, num_heads, window, block_q, eps, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _fused_block_tpu(x, params, num_heads, window, block_q, eps, scale,
+                     gelu_tanh):
     def row(v):
         return v.reshape(1, -1)
 
@@ -237,16 +249,20 @@ def _fused_block_tpu(x, params, num_heads, window, block_q, eps, scale):
         params["w1"], row(params["b1"]),
         params["w2"], row(params["b2"]),
         num_heads=num_heads, window=window, block_q=block_q, eps=eps,
-        scale=scale, interpret=False,
+        scale=scale, interpret=False, gelu_tanh=gelu_tanh,
     )
 
 
-def _fused_block_fwd(x, params, num_heads, window, block_q, eps, scale):
-    out = _fused_block_tpu(x, params, num_heads, window, block_q, eps, scale)
+def _fused_block_fwd(x, params, num_heads, window, block_q, eps, scale,
+                     gelu_tanh):
+    out = _fused_block_tpu(
+        x, params, num_heads, window, block_q, eps, scale, gelu_tanh
+    )
     return out, (x, params)
 
 
-def _fused_block_bwd(num_heads, window, block_q, eps, scale, res, g):
+def _fused_block_bwd(num_heads, window, block_q, eps, scale, gelu_tanh,
+                     res, g):
     # pallas_call has no autodiff; recompute through the XLA reference
     # (rematerialization — residuals are just the inputs). Required because
     # UniGR training takes jax.grad over the full param tree even though
@@ -254,7 +270,8 @@ def _fused_block_bwd(num_heads, window, block_q, eps, scale, res, g):
     x, params = res
     _, vjp = jax.vjp(
         lambda x_, p_: _reference_block(
-            x_, p_, num_heads=num_heads, window=window, eps=eps, scale=scale
+            x_, p_, num_heads=num_heads, window=window, eps=eps,
+            scale=scale, gelu_tanh=gelu_tanh,
         ),
         x, params,
     )
@@ -286,7 +303,7 @@ def _ln_matmul_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *, eps):
 
 def _proj_mlp_kernel(
     attn_ref, x_ref, wproj, bproj, ln2_g, ln2_b, w1, b1, w2, b2, o_ref,
-    *, eps: float,
+    *, eps: float, gelu_tanh: bool,
 ):
     xb = x_ref[0]
     proj = (
@@ -305,7 +322,7 @@ def _proj_mlp_kernel(
         + b1[0].astype(jnp.float32)
     ).astype(xb.dtype)
     h1f = h1.astype(jnp.float32)
-    g = _gelu_f32(h1f).astype(xb.dtype)
+    g = _gelu_f32(h1f, gelu_tanh).astype(xb.dtype)
     h2 = (
         jax.lax.dot(g, w2[...], preferred_element_type=jnp.float32)
         + b2[0].astype(jnp.float32)
@@ -340,17 +357,17 @@ def _ln_qkv_call(x, g, b, w, bias, *, block_q, eps, interpret):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "eps", "interpret")
+    jax.jit, static_argnames=("block_q", "eps", "interpret", "gelu_tanh")
 )
 def _proj_mlp_call(
     attn, x, wproj, bproj, ln2_g, ln2_b, w1, b1, w2, b2,
-    *, block_q, eps, interpret,
+    *, block_q, eps, interpret, gelu_tanh=True,
 ):
     bsz, l, d = x.shape
     f = w1.shape[1]
     tok = pl.BlockSpec((1, block_q, d), lambda b_, qi: (b_, qi, 0))
     return pl.pallas_call(
-        functools.partial(_proj_mlp_kernel, eps=eps),
+        functools.partial(_proj_mlp_kernel, eps=eps, gelu_tanh=gelu_tanh),
         grid=(bsz, l // block_q),
         in_specs=[
             tok, tok,
@@ -365,7 +382,8 @@ def _proj_mlp_call(
     )(attn, x, wproj, bproj, ln2_g, ln2_b, w1, b1, w2, b2)
 
 
-def _reference_global_block(x, p, *, num_heads, eps, scale):
+def _reference_global_block(x, p, *, num_heads, eps, scale,
+                            gelu_tanh=True):
     """XLA mirror of the global-attention block (CPU fallback + vjp body)."""
     b, l, d = x.shape
 
@@ -389,13 +407,13 @@ def _reference_global_block(x, p, *, num_heads, eps, scale):
     y = x + proj
     ln2 = ln(y, p["ln2_g"], p["ln2_b"])
     h1 = ((ln2 @ p["w1"]).astype(jnp.float32) + p["b1"]).astype(x.dtype)
-    g = jax.nn.gelu(h1, approximate=GELU_TANH)
+    g = jax.nn.gelu(h1, approximate=gelu_tanh)
     h2 = ((g @ p["w2"]).astype(jnp.float32) + p["b2"]).astype(x.dtype)
     return y + h2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _global_block_tpu(x, params, num_heads, block_q, eps, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _global_block_tpu(x, params, num_heads, block_q, eps, scale, gelu_tanh):
     from .attention import flash_attention
 
     b, l, d = x.shape
@@ -416,21 +434,22 @@ def _global_block_tpu(x, params, num_heads, block_q, eps, scale):
         row(params["ln2_g"]), row(params["ln2_b"]),
         params["w1"], row(params["b1"]),
         params["w2"], row(params["b2"]),
-        block_q=block_q, eps=eps, interpret=False,
+        block_q=block_q, eps=eps, interpret=False, gelu_tanh=gelu_tanh,
     )
 
 
-def _global_block_fwd(x, params, num_heads, block_q, eps, scale):
-    return _global_block_tpu(x, params, num_heads, block_q, eps, scale), (
-        x, params,
-    )
+def _global_block_fwd(x, params, num_heads, block_q, eps, scale, gelu_tanh):
+    return _global_block_tpu(
+        x, params, num_heads, block_q, eps, scale, gelu_tanh
+    ), (x, params)
 
 
-def _global_block_bwd(num_heads, block_q, eps, scale, res, g):
+def _global_block_bwd(num_heads, block_q, eps, scale, gelu_tanh, res, g):
     x, params = res
     _, vjp = jax.vjp(
         lambda x_, p_: _reference_global_block(
-            x_, p_, num_heads=num_heads, eps=eps, scale=scale
+            x_, p_, num_heads=num_heads, eps=eps, scale=scale,
+            gelu_tanh=gelu_tanh,
         ),
         x, params,
     )
@@ -449,17 +468,20 @@ def fused_global_block(
     scale: Optional[float] = None,
     block_q: int = 512,
     interpret: bool = False,
+    gelu_tanh: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Global-attention transformer block: Pallas LN+qkv prologue, flash
     attention, Pallas proj+LN+MLP epilogue. Same params dict as
     fused_window_block."""
     b, l, d = x.shape
+    gelu_tanh = gelu_variant(gelu_tanh)
     if scale is None:
         scale = 1.0 / math.sqrt(d // num_heads)
     on_tpu = jax.default_backend() == "tpu"
     if not (on_tpu or interpret):
         return _reference_global_block(
-            x, params, num_heads=num_heads, eps=eps, scale=scale
+            x, params, num_heads=num_heads, eps=eps, scale=scale,
+            gelu_tanh=gelu_tanh,
         )
     block = block_q
     while l % block != 0:
@@ -483,9 +505,11 @@ def fused_global_block(
             row(params["ln2_g"]), row(params["ln2_b"]),
             params["w1"], row(params["b1"]),
             params["w2"], row(params["b2"]),
-            block_q=block, eps=eps, interpret=True,
+            block_q=block, eps=eps, interpret=True, gelu_tanh=gelu_tanh,
         )
-    return _global_block_tpu(x, params, num_heads, block, eps, scale)
+    return _global_block_tpu(
+        x, params, num_heads, block, eps, scale, gelu_tanh
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -537,7 +561,8 @@ def _proj_ln_call(attn, x, wproj, bproj, ln2_g, ln2_b, *, block_q, eps,
     )(attn, x, wproj, bproj, ln2_g, ln2_b)
 
 
-def _mlp_blocked_kernel(ln2y_ref, y_ref, w1, b1, w2, b2, o_ref):
+def _mlp_blocked_kernel(ln2y_ref, y_ref, w1, b1, w2, b2, o_ref, *,
+                        gelu_tanh: bool):
     """Grid (B, L/bq, F/bf), hidden-dim blocks innermost; o (f32) is
     revisited across f and accumulated in VMEM."""
     f = pl.program_id(2)
@@ -546,7 +571,7 @@ def _mlp_blocked_kernel(ln2y_ref, y_ref, w1, b1, w2, b2, o_ref):
         + b1[0].astype(jnp.float32)
     ).astype(ln2y_ref.dtype)
     h1f = h1.astype(jnp.float32)
-    g = _gelu_f32(h1f).astype(ln2y_ref.dtype)
+    g = _gelu_f32(h1f, gelu_tanh).astype(ln2y_ref.dtype)
     part = jax.lax.dot(g, w2[...], preferred_element_type=jnp.float32)
 
     @pl.when(f == 0)
@@ -561,15 +586,15 @@ def _mlp_blocked_kernel(ln2y_ref, y_ref, w1, b1, w2, b2, o_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_f", "interpret")
+    jax.jit, static_argnames=("block_q", "block_f", "interpret", "gelu_tanh")
 )
 def _mlp_blocked_call(ln2y, y, w1, b1, w2, b2, *, block_q, block_f,
-                      interpret):
+                      interpret, gelu_tanh=True):
     bsz, l, d = y.shape
     fdim = w1.shape[1]
     tok = pl.BlockSpec((1, block_q, d), lambda b_, qi, f: (b_, qi, 0))
     out = pl.pallas_call(
-        _mlp_blocked_kernel,
+        functools.partial(_mlp_blocked_kernel, gelu_tanh=gelu_tanh),
         grid=(bsz, l // block_q, fdim // block_f),
         in_specs=[
             tok, tok,
@@ -587,9 +612,9 @@ def _mlp_blocked_call(ln2y, y, w1, b1, w2, b2, *, block_q, block_f,
     return out.astype(y.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _split_window_block_tpu(
-    x, params, num_heads, window, block_q, block_f, eps, scale
+    x, params, num_heads, window, block_q, block_f, eps, scale, gelu_tanh
 ):
     from .attention import window_attention
 
@@ -615,25 +640,28 @@ def _split_window_block_tpu(
         ln2y, y, params["w1"], row(params["b1"]),
         params["w2"], row(params["b2"]),
         block_q=block_q, block_f=block_f, interpret=False,
+        gelu_tanh=gelu_tanh,
     )
 
 
 def _split_window_block_fwd(
-    x, params, num_heads, window, block_q, block_f, eps, scale
+    x, params, num_heads, window, block_q, block_f, eps, scale, gelu_tanh
 ):
     out = _split_window_block_tpu(
-        x, params, num_heads, window, block_q, block_f, eps, scale
+        x, params, num_heads, window, block_q, block_f, eps, scale,
+        gelu_tanh,
     )
     return out, (x, params)
 
 
 def _split_window_block_bwd(
-    num_heads, window, block_q, block_f, eps, scale, res, g
+    num_heads, window, block_q, block_f, eps, scale, gelu_tanh, res, g
 ):
     x, params = res
     _, vjp = jax.vjp(
         lambda x_, p_: _reference_block(
-            x_, p_, num_heads=num_heads, window=window, eps=eps, scale=scale
+            x_, p_, num_heads=num_heads, window=window, eps=eps,
+            scale=scale, gelu_tanh=gelu_tanh,
         ),
         x, params,
     )
@@ -655,6 +683,7 @@ def fused_window_block_split(
     block_q: int = 256,
     block_f: int = 512,
     interpret: bool = False,
+    gelu_tanh: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Windowed transformer block for dims whose weights exceed VMEM (same
     params dict and layout contract as fused_window_block).
@@ -664,13 +693,14 @@ def fused_window_block_split(
     buffered twice), token blocks 0.6 MB, f32 accumulator 1.2 MB. block_f
     must be a multiple of 128 (Mosaic lane-dim divisibility)."""
     b, l, d = x.shape
+    gelu_tanh = gelu_variant(gelu_tanh)
     if scale is None:
         scale = 1.0 / math.sqrt(d // num_heads)
     on_tpu = jax.default_backend() == "tpu"
     if not (on_tpu or interpret):
         return _reference_block(
             x, params, num_heads=num_heads, window=window, eps=eps,
-            scale=scale,
+            scale=scale, gelu_tanh=gelu_tanh,
         )
     block = block_q
     while l % block != 0 or block % window != 0:
@@ -687,7 +717,7 @@ def fused_window_block_split(
         # dims fall back to the XLA block rather than failing to lower
         return _reference_block(
             x, params, num_heads=num_heads, window=window, eps=eps,
-            scale=scale,
+            scale=scale, gelu_tanh=gelu_tanh,
         )
     if interpret:
         def row(v):
@@ -711,10 +741,10 @@ def fused_window_block_split(
         return _mlp_blocked_call(
             ln2y, y, params["w1"], row(params["b1"]),
             params["w2"], row(params["b2"]),
-            block_q=block, block_f=bf, interpret=True,
+            block_q=block, block_f=bf, interpret=True, gelu_tanh=gelu_tanh,
         )
     return _split_window_block_tpu(
-        x, params, num_heads, window, block, bf, eps, scale
+        x, params, num_heads, window, block, bf, eps, scale, gelu_tanh
     )
 
 
@@ -728,6 +758,7 @@ def fused_window_block(
     scale: Optional[float] = None,
     block_q: int = 256,
     interpret: bool = False,
+    gelu_tanh: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused windowed transformer block over (B, L, D), window-major.
 
@@ -737,13 +768,14 @@ def fused_window_block(
     (L, 3, H, hd), the hiera.MultiScaleBlock convention.
     """
     b, l, d = x.shape
+    gelu_tanh = gelu_variant(gelu_tanh)
     if scale is None:
         scale = 1.0 / math.sqrt(d // num_heads)
     on_tpu = jax.default_backend() == "tpu"
     if not (on_tpu or interpret):
         return _reference_block(
             x, params, num_heads=num_heads, window=window, eps=eps,
-            scale=scale,
+            scale=scale, gelu_tanh=gelu_tanh,
         )
 
     block = block_q
@@ -785,6 +817,8 @@ def fused_window_block(
             params["w1"], row(params["b1"]),
             params["w2"], row(params["b2"]),
             num_heads=num_heads, window=window, block_q=block, eps=eps,
-            scale=scale, interpret=True,
+            scale=scale, interpret=True, gelu_tanh=gelu_tanh,
         )
-    return _fused_block_tpu(x, params, num_heads, window, block, eps, scale)
+    return _fused_block_tpu(
+        x, params, num_heads, window, block, eps, scale, gelu_tanh
+    )

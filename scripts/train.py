@@ -58,7 +58,11 @@ def parse_args():
     p.add_argument("--precision", default="bfloat16")
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--data_workers", type=int, default=2,
-                   help="prefetch threads (0 = synchronous)")
+                   help="prefetch threads (0 = synchronous). With >=1 "
+                   "worker, batch COMPOSITION is not reproducible for a "
+                   "given seed: workers sample the hybrid dataset through "
+                   "shared RNG state, so ordering depends on thread "
+                   "scheduling. Use 0 when debugging needs exact replay.")
     p.add_argument("--profile_dir", default=None)
     p.add_argument("--no_eval", action="store_true",
                    help="skip the per-epoch ReasonSeg-val gIoU/cIoU loop")
