@@ -61,6 +61,7 @@ def test_chat_answer_returns_text(chat):
     assert len(out) > 0
 
 
+@pytest.mark.slow
 def test_chat_accepts_unigr_composite(chat):
     """UniGRChat slices model.qwen + params subtree internally so QA
     drivers pass the composite directly."""

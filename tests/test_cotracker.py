@@ -43,6 +43,7 @@ def test_forward_shapes(tiny_tracker):
     assert np.isfinite(np.asarray(tracks)).all()
 
 
+@pytest.mark.slow
 def test_trainable_overfit_step(tiny_tracker):
     model, params, frames, queries = tiny_tracker
     target = jnp.asarray(
@@ -96,6 +97,7 @@ def test_synthetic_batch_geometry():
     assert steps.max() < 6.0  # bounded per-frame motion
 
 
+@pytest.mark.slow
 def test_cotracker_learns_on_synthetic_motion():
     """A few optimizer steps reduce tracking error on held-out motion —
     the trainable stand-in for the unavailable CoTracker3 checkpoint."""

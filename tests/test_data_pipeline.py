@@ -104,6 +104,7 @@ def data_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_hybrid_and_collate_to_train_forward(data_root):
     hybrid = ImgVidHybridDataset(
         data_root,

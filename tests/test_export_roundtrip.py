@@ -10,6 +10,7 @@ from rga3_tpu.models.qwen25vl.model import Qwen25VL
 from rga3_tpu.train.export import export_hf_safetensors, merge_lora
 
 
+@pytest.mark.slow
 def test_lora_merge_equals_adapted_forward():
     cfg = tiny_config(vocab_size=500)
     lora_cfg = cfg.replace(
@@ -40,6 +41,7 @@ def test_lora_merge_equals_adapted_forward():
     )
 
 
+@pytest.mark.slow
 def test_export_import_roundtrip(tmp_path):
     cfg = tiny_config(vocab_size=400)
     model = Qwen25VL(cfg)

@@ -87,6 +87,7 @@ def test_fused_matches_flax_block():
     )
 
 
+@pytest.mark.slow
 def test_hiera_fused_path_parity_and_tree():
     """Fused path == unfused path on the full tiny trunk, with an
     IDENTICAL parameter tree (checkpoint compatibility)."""
@@ -109,6 +110,7 @@ def test_hiera_fused_path_parity_and_tree():
         )
 
 
+@pytest.mark.slow
 def test_fused_block_is_differentiable():
     """jax.grad must work through the fused path (UniGR training takes
     grad over the full param tree; on TPU this exercises the custom_vjp —
@@ -219,6 +221,7 @@ def test_split_interpret_kernel_matches_reference():
         )
 
 
+@pytest.mark.slow
 def test_split_block_gradients_match_reference():
     from rga3_tpu.ops.fused_block import fused_window_block_split
 

@@ -1,5 +1,6 @@
 """Tiny-config Qwen LM: forward shape, KV-cache decode == full forward."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ def test_forward_shapes():
     assert out["hidden_states"].shape == (2, 10, cfg.hidden_size)
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_full_forward():
     cfg, model, params, ids = _build()
     full = model.apply(params, input_ids=ids)
@@ -57,6 +59,7 @@ def test_segment_ids_isolate_padding():
     )
 
 
+@pytest.mark.slow
 def test_sampling_generate_runs():
     """temperature>0 + top_p nucleus path through greedy_generate."""
     import jax

@@ -1,6 +1,7 @@
 """Int8 weight-only quantization: op accuracy, tree transform, and the
 quantized LM end-to-end (ref bitsandbytes path: inference_mevis.py:70-93)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -72,6 +73,7 @@ def test_quantized_tree_and_lm_forward():
     assert rel < 0.01
 
 
+@pytest.mark.slow
 def test_quantized_scan_layers_decode():
     cfg = tiny_config(vocab_size=1000).text.replace(
         scan_layers=True, quant_int8=True
@@ -94,6 +96,7 @@ def test_quantized_scan_layers_decode():
     assert int(out2["cache"]["idx"]) == 9
 
 
+@pytest.mark.slow
 def test_vision_tower_int8():
     """include_vision quantizes the ViT blocks too; logits on a vision
     prompt stay close and the tree holds int8 vision kernels."""

@@ -127,6 +127,7 @@ def Sam1ModelEncode(m, images):
     return m.encode_image(images)
 
 
+@pytest.mark.slow
 def test_text_prompted_decode_parity(ref_and_ours):
     ref, model, params, cfg = ref_and_ours
     rng = np.random.default_rng(1)
@@ -167,6 +168,7 @@ def test_text_prompted_decode_parity(ref_and_ours):
     )
 
 
+@pytest.mark.slow
 def test_point_prompted_decode_parity(ref_and_ours):
     ref, model, params, cfg = ref_and_ours
     rng = np.random.default_rng(2)

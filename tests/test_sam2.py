@@ -11,10 +11,10 @@ from rga3_tpu.models.sam2.video import segment_video_with_language, track_video
 
 @pytest.fixture(scope="module")
 def sam2():
-    cfg = tiny_sam2_config(image_size=64)
+    cfg = tiny_sam2_config(image_size=32)
     model = Sam2Model(cfg)
     frames = jnp.asarray(
-        np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
     )
     lang = jnp.asarray(
         np.random.default_rng(1).normal(size=(2, 1, cfg.d_model)).astype(
@@ -41,8 +41,8 @@ def test_language_decode_shapes_and_sensitivity(sam2):
     out = model.apply(
         params, frames, lang, method=Sam2Model.decode_frames_with_language
     )
-    assert out["high_res_masks"].shape == (2, 1, 64, 64)
-    assert out["low_res_masks"].shape == (2, 1, 16, 16)
+    assert out["high_res_masks"].shape == (2, 1, cfg.image_size, cfg.image_size)
+    assert out["low_res_masks"].shape == (2, 1, cfg.image_size // 4, cfg.image_size // 4)
     assert out["obj_ptr"].shape == (2, cfg.d_model)
     # language prompt must influence the masks
     out2 = model.apply(
@@ -55,6 +55,7 @@ def test_language_decode_shapes_and_sensitivity(sam2):
     )
 
 
+@pytest.mark.slow
 def test_segment_video_chunking_matches_single_call(sam2):
     cfg, model, params, frames, lang = sam2
     full = model.apply(
@@ -68,11 +69,12 @@ def test_segment_video_chunking_matches_single_call(sam2):
     )
 
 
+@pytest.mark.slow
 def test_track_video_runs_and_uses_memory(sam2):
     cfg, model, params, frames, lang = sam2
     frames4 = jnp.concatenate([frames, frames], axis=0)  # T=4
     out = track_video(model, params, frames4, language_embd=lang[:1])
-    assert out["high_res_masks"].shape == (4, 1, 64, 64)
+    assert out["high_res_masks"].shape == (4, 1, cfg.image_size, cfg.image_size)
     assert np.isfinite(np.asarray(out["high_res_masks"])).all()
     # memory conditioning means identical frames at t=1 and t=3 can differ
     # (different memory banks) — just assert tracking produced distinct
@@ -85,6 +87,7 @@ def test_track_video_runs_and_uses_memory(sam2):
     assert diff > 1e-7
 
 
+@pytest.mark.slow
 def test_track_video_multi_object(sam2):
     """O objects tracked in one batched scan: per-object banks, shared
     trunk encode; object 0's masks match the single-object run."""
@@ -92,7 +95,7 @@ def test_track_video_multi_object(sam2):
     frames4 = jnp.concatenate([frames, frames], axis=0)  # T=4
     lang2 = jnp.concatenate([lang[:1], lang[:1] * -1.0], axis=0)  # O=2
     out = track_video(model, params, frames4, language_embd=lang2)
-    assert out["high_res_masks"].shape == (4, 2, 64, 64)
+    assert out["high_res_masks"].shape == (4, 2, cfg.image_size, cfg.image_size)
     assert out["obj_ptrs"].shape == (4, 2, cfg.d_model)
     single = track_video(model, params, frames4, language_embd=lang[:1])
     np.testing.assert_allclose(

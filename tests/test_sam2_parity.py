@@ -81,6 +81,7 @@ def test_prompt_encoder_parity(ref_and_ours):
     )
 
 
+@pytest.mark.slow
 def test_language_mask_decoder_parity(ref_and_ours):
     refmod, ref, model, params = ref_and_ours
     rng = np.random.default_rng(0)
@@ -125,6 +126,7 @@ def test_language_mask_decoder_parity(ref_and_ours):
     )
 
 
+@pytest.mark.slow
 def test_memory_encoder_parity(ref_and_ours):
     refmod, ref, model, params = ref_and_ours
     rng = np.random.default_rng(1)

@@ -1,5 +1,6 @@
 """scan_layers decoder == per-layer loop decoder (same weights)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -8,6 +9,7 @@ from rga3_tpu.models.qwen25vl.language import QwenForCausalLM, make_kv_cache
 from rga3_tpu.models.qwen25vl.loader import stack_qwen_layers
 
 
+@pytest.mark.slow
 def test_scan_matches_loop_and_cache_decode():
     cfg = tiny_config(vocab_size=300).text
     loop_model = QwenForCausalLM(cfg)

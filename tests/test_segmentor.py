@@ -88,6 +88,7 @@ def legacy_segmentor():
     )
 
 
+@pytest.mark.slow
 def test_segment_video_legacy_backbone(legacy_segmentor):
     """The same eval driver runs the SAM-v1 legacy composite
     (ref model/qwen_2_5_vl.py evaluate path)."""

@@ -3,6 +3,7 @@ generation with params sharded by the logical rules must match the
 unsharded result token-for-token (§2.9 — inference sharding is a
 capability beyond the reference's single-GPU-per-process eval)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -14,6 +15,7 @@ from rga3_tpu.parallel.mesh import make_mesh
 from rga3_tpu.parallel.sharding import infer_param_sharding
 
 
+@pytest.mark.slow
 def test_sharded_generate_matches_unsharded():
     cfg = tiny_config(vocab_size=1000)
     model = Qwen25VL(cfg)

@@ -12,6 +12,7 @@ from rga3_tpu.train.optimizer import lr_schedule, trainable_mask
 from rga3_tpu.train.step import build_train_step, make_train_state
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import importlib.util
 

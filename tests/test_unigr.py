@@ -38,6 +38,7 @@ def unigr():
     return cfg, model, params, ids
 
 
+@pytest.mark.slow
 def test_train_forward_losses(unigr):
     cfg, model, params, ids = unigr
     rng = np.random.default_rng(1)
@@ -61,6 +62,7 @@ def test_train_forward_losses(unigr):
     assert float(out["loss"]) > 0
 
 
+@pytest.mark.slow
 def test_train_forward_no_seg_sample_zero_mask_loss(unigr):
     cfg, model, params, ids = unigr
     rng = np.random.default_rng(2)
@@ -83,6 +85,7 @@ def test_train_forward_no_seg_sample_zero_mask_loss(unigr):
     assert abs(float(out["mask_loss"])) < 1e-6
 
 
+@pytest.mark.slow
 def test_train_forward_is_differentiable(unigr):
     cfg, model, params, ids = unigr
     rng = np.random.default_rng(3)
@@ -106,6 +109,7 @@ def test_train_forward_is_differentiable(unigr):
     assert float(jnp.abs(g).max()) > 0  # seg head receives gradient
 
 
+@pytest.mark.slow
 def test_evaluate_step(unigr):
     cfg, model, params, ids = unigr
     rng = np.random.default_rng(4)

@@ -52,6 +52,7 @@ def _train_inputs(ids, seed=1):
     return labels, pos, images_sam, gt
 
 
+@pytest.mark.slow
 def test_train_forward_losses(legacy):
     cfg, model, params, ids = legacy
     labels, pos, images_sam, gt = _train_inputs(ids)
@@ -67,6 +68,7 @@ def test_train_forward_losses(legacy):
     assert float(out["loss"]) > 0
 
 
+@pytest.mark.slow
 def test_no_seg_sample_zero_mask_loss(legacy):
     cfg, model, params, ids = legacy
     ids2 = ids.copy()
@@ -82,6 +84,7 @@ def test_no_seg_sample_zero_mask_loss(legacy):
     assert abs(float(out["mask_loss"])) < 1e-6
 
 
+@pytest.mark.slow
 def test_train_forward_is_differentiable(legacy):
     cfg, model, params, ids = legacy
     labels, pos, images_sam, gt = _train_inputs(ids, seed=3)
@@ -106,6 +109,7 @@ def test_train_forward_is_differentiable(legacy):
     assert np.all(np.isfinite(np.asarray(gdec)))
 
 
+@pytest.mark.slow
 def test_evaluate_step(legacy):
     cfg, model, params, ids = legacy
     T, L = 3, 10

@@ -1,5 +1,6 @@
 """Static-budget vision padding: padded forward == unpadded forward."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +12,7 @@ from rga3_tpu.models.qwen25vl.vision import (
 )
 
 
+@pytest.mark.slow
 def test_padded_vision_matches_unpadded():
     cfg = tiny_config(vocab_size=160_000)
     model = Qwen25VL(cfg)
@@ -53,6 +55,7 @@ def test_padded_vision_matches_unpadded():
         )
 
 
+@pytest.mark.slow
 def test_padding_multiple_grids():
     cfg = tiny_config(vocab_size=160_000)
     model = Qwen25VL(cfg)
