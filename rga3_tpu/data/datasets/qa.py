@@ -332,8 +332,16 @@ class ReferVQADataset(TaskDataset):
             os.path.join(self.img_folder, meta["image"])
         ).convert("RGB")
         if meta["visual_prompt"]:
+            # ViP-LLaVA row ids don't carry a dataset prefix; key the
+            # organizer config explicitly (it raises on unknown types)
+            dtype = (
+                "osprey"
+                if str(meta["line"].get("id", "")).startswith("osprey")
+                else "vip_llava"
+            )
             img, turns = vip_processor(
-                copy.deepcopy(meta["line"]), img, min(img.size)
+                copy.deepcopy(meta["line"]), img, min(img.size),
+                dataset_type=dtype,
             )
         else:
             turns = meta["line"]["conversations"]
