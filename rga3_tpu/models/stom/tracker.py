@@ -12,6 +12,10 @@ Here the tracker is an interface with two backends:
   * `CoTrackerJax` (cotracker.py) — the in-framework trainable
     point-tracking transformer (conv encoder + multi-scale correlation +
     time/track attention), same `track()` interface.
+  * `CoTracker3Predictor` (cotracker3.py) — the official
+    CoTracker3-offline architecture at published dims with a
+    `scaled_offline.pth` key-mapping loader (convert.py), same `track()`
+    interface.
 
 API matches what STOM consumes: track(frames, query_mask, query_frame_idx)
 -> (tracks (T, N, 2) xy, visibility (T, N) bool).

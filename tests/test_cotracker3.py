@@ -1,0 +1,154 @@
+"""CoTracker3-offline: forward shapes, official key layout, and the
+torch-state-dict round-trip (VERDICT round-1 item 3)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rga3_tpu.models.stom.convert import (
+    export_torch_state_dict, load_torch_state_dict,
+)
+from rga3_tpu.models.stom.cotracker3 import (
+    CoTracker3Offline, CoTracker3Predictor, cotracker3_offline_config,
+    get_2d_embedding, tiny_cotracker3_config,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_cotracker3_config()
+    model = CoTracker3Offline(cfg)
+    frames = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (4, 48, 64, 3)).astype(
+            np.float32
+        )
+    )
+    queries = jnp.asarray(
+        [[0, 10, 12], [0, 30, 20], [2, 40, 24], [1, 5, 40], [3, 60, 30],
+         [0, 20, 8]],
+        jnp.float32,
+    )
+    params = model.init(jax.random.PRNGKey(0), frames, queries)
+    return cfg, model, params, frames, queries
+
+
+def test_forward_shapes(tiny):
+    cfg, model, params, frames, queries = tiny
+    out = model.apply(params, frames, queries)
+    t, n = frames.shape[0], queries.shape[0]
+    assert out["tracks"].shape == (cfg.iters, t, n, 2)
+    assert out["vis"].shape == (t, n)
+    assert out["conf"].shape == (t, n)
+    assert np.isfinite(np.asarray(out["tracks"])).all()
+    # at the query frame the initial estimate is the query point itself;
+    # refinement deltas must stay bounded at random init
+    assert np.isfinite(np.asarray(out["vis"])).all()
+
+
+def test_get_2d_embedding_dims():
+    xy = jnp.ones((3, 5, 2))
+    assert get_2d_embedding(xy, 8).shape == (3, 5, 18)
+    assert get_2d_embedding(xy, 8, cat_coords=False).shape == (3, 5, 16)
+
+
+def test_state_dict_roundtrip(tiny):
+    _, _, params, _, _ = tiny
+    sd = export_torch_state_dict(params)
+    # perturb every tensor, load, and re-export: must match the
+    # perturbed values exactly (bijective mapping, correct transposes)
+    sd2 = {k: v + 1.0 for k, v in sd.items()}
+    loaded = load_torch_state_dict(params, sd2)
+    back = export_torch_state_dict(loaded)
+    assert set(back) == set(sd2)
+    for k in sd2:
+        np.testing.assert_array_equal(back[k], sd2[k])
+
+
+def test_loader_rejects_missing_and_unexpected(tiny):
+    _, _, params, _, _ = tiny
+    sd = export_torch_state_dict(params)
+    bad = dict(sd)
+    bad.pop("fnet.conv1.weight")
+    bad["fnet.conv_nosuch.weight"] = np.zeros((1,))
+    with pytest.raises(KeyError):
+        load_torch_state_dict(params, bad)
+    good = {f"model.{k}": v for k, v in sd.items()}  # wrapped prefix ok
+    load_torch_state_dict(params, good)
+
+
+def test_loader_rejects_shape_mismatch(tiny):
+    _, _, params, _, _ = tiny
+    sd = export_torch_state_dict(params)
+    sd["updateformer.input_transform.weight"] = np.zeros(
+        (7, 7), np.float32
+    )
+    with pytest.raises(ValueError):
+        load_torch_state_dict(params, sd)
+
+
+@pytest.mark.slow
+def test_official_key_layout():
+    """The full-size model exposes exactly the published checkpoint
+    layout: RAFT encoder stage/downsample keys, corr_mlp at 2401->384->256,
+    updateformer blocks at hidden 384 with 64 virtual tracks."""
+    cfg = cotracker3_offline_config()
+    model = CoTracker3Offline(cfg)
+    frames = jax.ShapeDtypeStruct((2, 384, 512, 3), jnp.float32)
+    queries = jax.ShapeDtypeStruct((8, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), frames, queries
+    )
+    sd = export_torch_state_dict(
+        jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
+    )
+    expect = {
+        "fnet.conv1.weight": (64, 3, 7, 7),
+        "fnet.layer1.0.conv1.weight": (64, 64, 3, 3),
+        "fnet.layer2.0.downsample.0.weight": (96, 64, 1, 1),
+        "fnet.layer3.1.conv2.weight": (128, 128, 3, 3),
+        "fnet.conv2.weight": (256, 416, 3, 3),
+        "fnet.conv3.weight": (128, 256, 1, 1),
+        "corr_mlp.fc1.weight": (384, 2401),
+        "corr_mlp.fc2.weight": (256, 384),
+        "updateformer.input_transform.weight": (384, cfg.input_dim),
+        "updateformer.virual_tracks": (1, 64, 1, 384),
+        "updateformer.time_blocks.2.attn.to_q.weight": (384, 384),
+        "updateformer.time_blocks.0.attn.to_kv.weight": (768, 384),
+        "updateformer.time_blocks.0.mlp.fc1.weight": (1536, 384),
+        "updateformer.space_virtual_blocks.2.attn.to_out.weight":
+            (384, 384),
+        "updateformer.space_point2virtual_blocks.0.cross_attn.to_q.weight":
+            (384, 384),
+        "updateformer.space_virtual2point_blocks.1.norm_context.weight":
+            (384,),
+        "updateformer.flow_head.weight": (2, 384),
+        "updateformer.vis_conf_head.weight": (2, 384),
+    }
+    for k, shape in expect.items():
+        assert k in sd, f"missing official key {k}"
+        assert sd[k].shape == shape, (k, sd[k].shape, shape)
+    # layer1 blocks have no downsample (stride 1, equal channels)
+    assert "fnet.layer1.0.downsample.0.weight" not in sd
+    # DiT pre-norms are parameter-free
+    assert not any(".norm1." in k or ".norm2." in k for k in sd)
+
+
+@pytest.mark.slow
+def test_predictor_tracks_translation(tiny):
+    """A translating square: the predictor keeps a coherent point set and
+    returns finite tracks through the STOM backend interface."""
+    cfg, model, params, _, _ = tiny
+    rng = np.random.default_rng(1)
+    t, h, w = 4, 48, 64
+    frames = []
+    for i in range(t):
+        f = rng.uniform(0, 60, (h, w, 3)).astype(np.float32)
+        f[10 + 2 * i:22 + 2 * i, 8 + 3 * i:24 + 3 * i] = 230.0
+        frames.append(f)
+    mask = np.zeros((h, w), np.uint8)
+    mask[12:20, 10:22] = 1
+    pred = CoTracker3Predictor(params, model, max_points=16)
+    tracks, vis = pred.track(frames, mask, 0, grid_size=8)
+    assert tracks.shape[0] == t and tracks.shape[2] == 2
+    assert vis.shape == tracks.shape[:2]
+    assert np.isfinite(tracks).all()
