@@ -1,4 +1,4 @@
-"""Caption metrics: BLEU-4, ROUGE-L, CIDEr-D, METEOR-lite.
+"""Caption metrics: BLEU-4, ROUGE-L, CIDEr-D, METEOR.
 
 Pure-numpy rebuilds of the pycocoevalcap metrics the reference uses for
 VideoInfer (ref: evaluation/videoinfer/eval.py:8-100 — BLEU-4/CIDEr/METEOR/
@@ -8,10 +8,18 @@ pycocoevalcap implementations:
   * ROUGE-L: F-beta with beta=1.2 over LCS (pycocoevalcap convention).
   * CIDEr-D: tf-idf 1-4gram cosine with length gaussian penalty (sigma 6),
     clipped counts, *10 scaling.
-  * METEOR-lite: unigram-overlap harmonic mean with fragmentation penalty
-    (exact matches only — the full METEOR needs WordNet, unavailable
-    offline; flagged in the returned key name).
-MiniLM sentence similarity is pluggable via `sentence_similarity_fn`.
+  * METEOR: staged unigram alignment (exact -> Porter stem -> WordNet
+    synonym) with chunk-minimizing matching, Fmean = PR/(aP+(1-a)R) and
+    fragmentation penalty g*(chunks/matches)^b — the Lavie-Agarwal 2007
+    formulation at its published defaults (a=0.9, b=3, g=0.5). The
+    synonym stage needs the WordNet corpus and silently no-ops when nltk
+    has no local copy; pycocoevalcap wraps the METEOR-1.5 Java jar whose
+    English task additionally uses paraphrase tables and function-word
+    weighting, so scores can differ by a few points — `meteor_lite`
+    (exact stage only) is kept for a dependency-free floor.
+MiniLM sentence similarity is pluggable via `sentence_similarity_fn`;
+`HFSentenceSimilarity` implements the reference's mean-pool + normalize +
+dot protocol over any local HF encoder (all-MiniLM-L6-v2 when available).
 """
 from __future__ import annotations
 
@@ -162,6 +170,130 @@ def cider_d(
 
 
 # ---------------------------------------------------------------- METEOR-lite
+_STEMMER = None
+
+
+def _stem(tok: str) -> str:
+    global _STEMMER
+    if _STEMMER is None:
+        try:
+            from nltk.stem import PorterStemmer
+
+            _STEMMER = PorterStemmer().stem
+        except Exception:  # no nltk: stem stage degrades to exact
+            _STEMMER = lambda t: t  # noqa: E731
+    return _STEMMER(tok)
+
+
+_WORDNET = None
+
+
+def _synsets(tok: str) -> frozenset:
+    """WordNet synset names of `tok`; empty when the corpus is absent
+    (documented gap — the synonym stage then never fires)."""
+    global _WORDNET
+    if _WORDNET is None:
+        try:
+            from nltk.corpus import wordnet
+
+            wordnet.synsets("test")  # raises LookupError without corpus
+            _WORDNET = wordnet
+        except Exception:
+            _WORDNET = False
+    if not _WORDNET:
+        return frozenset()
+    return frozenset(s.name() for s in _WORDNET.synsets(tok))
+
+
+def _align_stage(h, r, h_used, r_used, eq):
+    """Match unmatched unigrams under `eq`, longest contiguous runs first
+    (approximates the official aligner's chunk-minimizing beam search)."""
+    pairs = []
+    nh, nr = len(h), len(r)
+    while True:
+        best = None
+        for i in range(nh):
+            if h_used[i]:
+                continue
+            for j in range(nr):
+                if r_used[j] or not eq(h[i], r[j]):
+                    continue
+                length = 1
+                while (
+                    i + length < nh and j + length < nr
+                    and not h_used[i + length] and not r_used[j + length]
+                    and eq(h[i + length], r[j + length])
+                ):
+                    length += 1
+                if best is None or length > best[0]:
+                    best = (length, i, j)
+        if best is None:
+            break
+        length, i, j = best
+        for k in range(length):
+            h_used[i + k] = True
+            r_used[j + k] = True
+            pairs.append((i + k, j + k))
+    return pairs
+
+
+def meteor_align(h: Sequence[str], rt: Sequence[str],
+                 stages: Sequence[str] = ("exact", "stem", "synonym")):
+    """Staged alignment; returns (pairs sorted by hyp index, chunks)."""
+    h_used = [False] * len(h)
+    r_used = [False] * len(rt)
+    pairs: List = []
+    for stage in stages:
+        if stage == "exact":
+            eq = lambda a, b: a == b  # noqa: E731
+        elif stage == "stem":
+            eq = lambda a, b: _stem(a) == _stem(b)  # noqa: E731
+        elif stage == "synonym":
+            eq = lambda a, b: (  # noqa: E731
+                a == b or bool(_synsets(a) & _synsets(b))
+            )
+        else:
+            raise ValueError(f"unknown METEOR stage {stage!r}")
+        pairs.extend(_align_stage(h, rt, h_used, r_used, eq))
+    pairs.sort()
+    chunks = 0
+    prev = None
+    for i, j in pairs:
+        if prev is None or i != prev[0] + 1 or j != prev[1] + 1:
+            chunks += 1
+        prev = (i, j)
+    return pairs, chunks
+
+
+def meteor(
+    hypotheses: Sequence[str], references: Sequence[Sequence[str]],
+    alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5,
+    stages: Sequence[str] = ("exact", "stem", "synonym"),
+) -> float:
+    """Full METEOR (align/penalty; exact + Porter-stem + WordNet-synonym
+    stages — see module docstring for the METEOR-1.5 jar differences).
+    Multi-reference: best score per hypothesis, averaged."""
+    scores = []
+    for hyp, refs in zip(hypotheses, references):
+        h = tokenize(hyp)
+        best = 0.0
+        for r in refs:
+            rt = tokenize(r)
+            if not h or not rt:
+                continue
+            pairs, chunks = meteor_align(h, rt, stages)
+            m = len(pairs)
+            if m == 0:
+                continue
+            p = m / len(h)
+            rcl = m / len(rt)
+            fmean = p * rcl / (alpha * p + (1 - alpha) * rcl)
+            penalty = gamma * (chunks / m) ** beta
+            best = max(best, fmean * (1 - penalty))
+        scores.append(best)
+    return float(np.mean(scores)) if scores else 0.0
+
+
 def meteor_lite(
     hypotheses: Sequence[str], references: Sequence[Sequence[str]],
     alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5,
@@ -198,6 +330,55 @@ def meteor_lite(
     return float(np.mean(scores)) if scores else 0.0
 
 
+class HFSentenceSimilarity:
+    """The reference's MiniLM sentence-similarity protocol (ref:
+    evaluation/videoinfer/eval.py:39-85): HF encoder -> attention-masked
+    mean pooling -> L2 normalize -> dot product. Works with any local
+    sentence-encoder directory (all-MiniLM-L6-v2 in the reference);
+    torch-cpu is sufficient."""
+
+    def __init__(self, model_name_or_path: str):
+        from transformers import AutoModel, AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        self.model = AutoModel.from_pretrained(model_name_or_path)
+        self.model.eval()
+
+    def _embed(self, text: str):
+        import torch
+
+        enc = self.tokenizer(
+            [text], padding=True, truncation=True, return_tensors="pt"
+        )
+        with torch.no_grad():
+            out = self.model(**enc)[0]  # (1, L, D)
+        mask = enc["attention_mask"].unsqueeze(-1).float()
+        emb = (out * mask).sum(1) / mask.sum(1).clamp(min=1e-9)
+        emb = torch.nn.functional.normalize(emb, p=2, dim=1)
+        return emb[0]
+
+    def __call__(self, hypothesis: str, reference: str) -> float:
+        import torch
+
+        return float(
+            torch.dot(self._embed(hypothesis), self._embed(reference))
+        )
+
+
+def default_sentence_similarity() -> Optional[Callable]:
+    """all-MiniLM-L6-v2 from RGA3_MINILM_DIR or the HF cache; None when no
+    local encoder exists (offline environments)."""
+    import os
+
+    path = os.environ.get("RGA3_MINILM_DIR")
+    if path and os.path.isdir(path):
+        return HFSentenceSimilarity(path)
+    try:
+        return HFSentenceSimilarity("sentence-transformers/all-MiniLM-L6-v2")
+    except Exception:
+        return None
+
+
 def evaluate_captions(
     hypotheses: Sequence[str],
     references: Sequence[Sequence[str]],
@@ -207,6 +388,7 @@ def evaluate_captions(
         "BLEU-4": bleu4(hypotheses, references),
         "ROUGE-L": rouge_l(hypotheses, references),
         "CIDEr": cider_d(hypotheses, references),
+        "METEOR": meteor(hypotheses, references),
         "METEOR(exact)": meteor_lite(hypotheses, references),
     }
     if sentence_similarity_fn is not None:

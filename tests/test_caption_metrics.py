@@ -1,7 +1,7 @@
 import numpy as np
 
 from rga3_tpu.evaluation.caption_metrics import (
-    bleu4, cider_d, evaluate_captions, meteor_lite,
+    bleu4, cider_d, evaluate_captions, meteor, meteor_align, meteor_lite,
     multiple_choice_accuracy, rouge_l,
 )
 
@@ -41,9 +41,54 @@ def test_cider_orders_quality():
 
 def test_evaluate_captions_bundle():
     out = evaluate_captions(HYP, REFS)
-    assert set(out) == {"BLEU-4", "ROUGE-L", "CIDEr", "METEOR(exact)"}
+    assert set(out) == {
+        "BLEU-4", "ROUGE-L", "CIDEr", "METEOR", "METEOR(exact)"
+    }
     for v in out.values():
         assert np.isfinite(v)
+
+
+# ---- full METEOR (align/penalty stages), hand-computed expectations ----
+
+def test_meteor_identical_sentence():
+    # m=6, P=R=1, Fmean=1, one chunk: penalty = 0.5 * (1/6)^3
+    got = meteor(["the cat sat on the mat"], [["the cat sat on the mat"]])
+    np.testing.assert_allclose(got, 1.0 - 0.5 * (1 / 6) ** 3, atol=1e-9)
+
+
+def test_meteor_stem_stage_matches_morphology():
+    # exact matches only "the"; the stem stage adds cats~cat,
+    # running~runs -> m=3 over len 3/3, one contiguous chunk:
+    # score = 1 * (1 - 0.5 * (1/3)^3)
+    got = meteor(["the cats running"], [["the cat runs"]])
+    np.testing.assert_allclose(got, 1.0 - 0.5 * (1 / 3) ** 3, atol=1e-9)
+    # without the stem stage only "the" matches: P=R=1/3,
+    # Fmean=1/3, 1 chunk of 1 match -> penalty=0.5
+    got_exact = meteor(["the cats running"], [["the cat runs"]],
+                       stages=("exact",))
+    np.testing.assert_allclose(got_exact, (1 / 3) * 0.5, atol=1e-9)
+
+
+def test_meteor_fragmentation_penalty_orders():
+    # same unigram overlap, different word order -> more chunks -> lower
+    contiguous = meteor(["a b c d"], [["a b c d"]])
+    shuffled = meteor(["c d a b"], [["a b c d"]])
+    assert shuffled < contiguous
+    # c d a b vs a b c d: runs (c d) and (a b) -> 2 chunks, m=4
+    np.testing.assert_allclose(
+        shuffled, 1.0 * (1 - 0.5 * (2 / 4) ** 3), atol=1e-9
+    )
+
+
+def test_meteor_align_reports_pairs_and_chunks():
+    pairs, chunks = meteor_align(
+        ["a", "b", "x"], ["a", "b", "y"], stages=("exact",)
+    )
+    assert pairs == [(0, 0), (1, 1)] and chunks == 1
+
+
+def test_meteor_disjoint_zero():
+    assert meteor(["xyz abc"], [["totally different words"]]) == 0.0
 
 
 def test_mc_accuracy_regex():
