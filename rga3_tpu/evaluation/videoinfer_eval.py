@@ -96,6 +96,37 @@ def merge_shards(shard_paths: Sequence[str], out_path: str) -> int:
     return len(seen)
 
 
+def build_eval_result(
+    pred_path: str,
+    qa_data: Dict[str, Dict],
+) -> Dict[str, Dict]:
+    """Predictions (jsonl, ids 'vid____exp____qa') + the nested test.json
+    -> the eval_result.json layout consumed by the GPT batch judge
+    (ref eval_gpt.ipynb cell 1: eval_result[vid][exp][qa] =
+    {question, gt_answer, pred_answer})."""
+    preds = {}
+    with open(pred_path) as f:
+        for line in f:
+            try:
+                d = json.loads(line)
+                preds[d["id"]] = d["pred"]
+            except Exception:
+                pass
+    out: Dict[str, Dict] = {}
+    for vid, v in qa_data.items():
+        for exp_id, exp in v["expressions"].items():
+            for qa_id, qa in exp["QA"].items():
+                pid = f"{vid}____{exp_id}____{qa_id}"
+                if pid not in preds:
+                    continue
+                out.setdefault(vid, {}).setdefault(exp_id, {})[qa_id] = {
+                    "question": qa["Q"],
+                    "gt_answer": qa.get("A", ""),
+                    "pred_answer": preds[pid],
+                }
+    return out
+
+
 def run_eval(
     pred_path: str,
     answers: Dict[str, str],  # id -> ground-truth answer

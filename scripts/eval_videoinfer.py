@@ -27,31 +27,65 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def load_items(data_root: str, split: str = "test"):
-    """VideoInfer layout: <root>/<split>.json with per-item video dirs,
-    questions, .npz RGBA overlays (ref inference_videoinfer.py:57-124)."""
-    from rga3_tpu.data.video import load_frames_from_dir
+def load_qa_data(data_root: str, split: str = "test"):
+    with open(os.path.join(data_root, f"{split}.json")) as f:
+        return json.load(f)
 
-    path = os.path.join(data_root, f"{split}.json")
-    with open(path) as f:
-        raw = json.load(f)
-    for item in raw:
-        frames = load_frames_from_dir(
-            os.path.join(data_root, "frames", item["video"])
+
+def load_items(data_root: str, split: str = "test", num_frames: int = 8):
+    """Published VideoInfer layout, byte-matched to the reference reader
+    (ref inference_videoinfer.py:22-124):
+
+      <root>/<split>.json — {vid: {"expressions": {exp: {"QA": {qa:
+          {"Q", "A"}}, "overlayed_frame_idx", "color", "shape",
+          "anno_id"}}}}
+      <root>/frames/<vid>/*.jpg         (sorted; frame idx = list index)
+      <root>/visual_prompts/<vid>/<exp>/<shape>.npz  key "arr_0", RGBA
+      <root>/mask_dict.json             {str(anno_id): [RLE-or-None] * T}
+
+    MLLM frames = get_sparse_indices(T, num_frames-1) + the overlayed
+    frame, sorted (ref :77-80). Item ids use the GPT-batch custom_id
+    convention "vid____exp____qa" (ref eval_gpt.ipynb)."""
+    from PIL import Image
+
+    from rga3_tpu.data.templates import get_sparse_indices
+
+    qa_data = load_qa_data(data_root, split)
+    for vid_id, vid in qa_data.items():
+        image_files = sorted(
+            glob.glob(os.path.join(data_root, "frames", vid_id, "*.jpg"))
         )
-        overlay = None
-        npz = item.get("vip_path")
-        if npz:
-            with np.load(os.path.join(data_root, npz)) as z:
-                overlay = z[z.files[0]].astype(np.uint8)
-        yield {
-            "id": item["id"],
-            "frames": frames,
-            "question": item["question"],
-            "vip_overlay": overlay,
-            "key_idx": item.get("key_idx", 0),
-            "shape": item.get("shape", "rectangle"),
-        }
+        total = len(image_files)
+        for exp_id, exp in vid["expressions"].items():
+            key_frame = exp["overlayed_frame_idx"]
+            shape = exp["shape"]
+            npz_path = os.path.join(
+                data_root, "visual_prompts", vid_id, exp_id, f"{shape}.npz"
+            )
+            overlay = None
+            if os.path.exists(npz_path):
+                overlay = np.load(npz_path)["arr_0"].astype(np.uint8)
+            sparse = get_sparse_indices(total, num_frames - 1)
+            sparse.append(key_frame)
+            sparse = sorted(sparse)
+            frames = [
+                np.asarray(Image.open(image_files[i]).convert("RGB"))
+                for i in sparse
+            ]
+            for qa_id, qa in exp["QA"].items():
+                yield {
+                    "id": f"{vid_id}____{exp_id}____{qa_id}",
+                    "vid_id": vid_id,
+                    "exp_id": exp_id,
+                    "qa_id": qa_id,
+                    "frames": frames,
+                    "question": qa["Q"],
+                    "answer": qa.get("A", ""),
+                    "vip_overlay": overlay,
+                    "key_idx": sparse.index(key_frame),
+                    "shape": shape,
+                    "color": exp.get("color"),
+                }
 
 
 def main():
@@ -108,11 +142,13 @@ def main():
         n = vi.merge_shards(shards, args.out)
         print(f"merged {n} predictions from {len(shards)} shards")
     else:
-        with open(os.path.join(args.data_root, f"{args.split}.json")) as f:
-            answers = {
-                item["id"]: item["answer"] for item in json.load(f)
-                if "answer" in item
-            }
+        qa_data = load_qa_data(args.data_root, args.split)
+        answers = {
+            f"{vid}____{exp_id}____{qa_id}": qa["A"]
+            for vid, v in qa_data.items()
+            for exp_id, exp in v["expressions"].items()
+            for qa_id, qa in exp["QA"].items()
+        }
         scores = vi.run_eval(args.out, answers)
         print(json.dumps(scores, indent=2))
 
