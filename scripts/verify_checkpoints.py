@@ -1,0 +1,311 @@
+"""One-command real-weight verification (VERDICT round-1 item 9).
+
+Given HF/torch checkpoint dirs, run loader -> per-block activation diff ->
+small eval slices for BASELINE measurement configs 1-4, and emit ONE JSON
+report. Runs end-to-end on tiny/random weights today so the moment real
+UniGR-7B / sam2_hiera_large.pt / scaled_offline.pth files land, the
+parity numbers fall out of a single invocation:
+
+  python scripts/verify_checkpoints.py --tiny --out verify.json
+  python scripts/verify_checkpoints.py \
+      --unigr_dir /path/UniGR-7B \
+      --sam2_ckpt /path/sam2_hiera_large.pt \
+      --cotracker_ckpt /path/scaled_offline.pth \
+      --out verify.json
+
+Stages (each isolated; one failure doesn't stop the rest):
+  load          checkpoint -> param tree for every provided component
+  act_diff      per-block drift vs HF transformers (scripts/activation_diff)
+  config1_qa    demo QA path: frames -> processor -> prefill+decode -> text
+  config2_vip   ViP-Bench-style region QA (rasterized overlay + decode)
+  config3_seg   ReasonSeg-style [SEG] -> SAM2 single-frame mask (gIoU)
+  config4_vos   MeViS-style video [SEG] -> per-frame masks (J&F)
+
+BASELINE.md configs; refs: app.py demo path, evaluation/vipbench/
+inference_vipbench.py, evaluation/eval_img/val.py, evaluation/
+mevis_val_u/inference_mevis.py.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tiny", action="store_true",
+                   help="random tiny models end-to-end (no checkpoints)")
+    p.add_argument("--unigr_dir", default=None,
+                   help="merged UniGR HF dir (SurplusDeficit/UniGR-7B)")
+    p.add_argument("--sam2_ckpt", default=None,
+                   help="sam2_hiera_large.pt (standalone check; the UniGR "
+                   "dir already embeds SAM2 weights)")
+    p.add_argument("--cotracker_ckpt", default=None,
+                   help="CoTracker3 scaled_offline.pth")
+    p.add_argument("--samples", type=int, default=5,
+                   help="eval-slice samples per config")
+    p.add_argument("--skip_act_diff", action="store_true")
+    p.add_argument("--out", default="verify_checkpoints.json")
+    return p.parse_args()
+
+
+def stage(report, name, fn):
+    t0 = time.time()
+    try:
+        out = fn() or {}
+        report[name] = {"ok": True, "seconds": round(time.time() - t0, 1),
+                        **out}
+        print(f"[verify] {name}: ok ({report[name]['seconds']}s)",
+              flush=True)
+    except Exception as e:  # isolate stages
+        report[name] = {
+            "ok": False, "seconds": round(time.time() - t0, 1),
+            "error": f"{type(e).__name__}: {e}",
+            "trace": traceback.format_exc(limit=4),
+        }
+        print(f"[verify] {name}: FAIL — {e}", flush=True)
+
+
+def giou_ciou(pred, gt):
+    import numpy as np
+
+    inter = float(np.logical_and(pred, gt).sum())
+    union = float(np.logical_or(pred, gt).sum())
+    return inter / max(union, 1.0)
+
+
+def main():
+    args = parse_args()
+    import numpy as np
+
+    import jax
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from rga3_tpu.data.processor import QwenVLProcessor
+    from rga3_tpu.evaluation.segmentor import UniGRChat, UniGRSegmentor
+
+    report = {"mode": "tiny" if args.tiny else "real", "configs": {}}
+    rng = np.random.default_rng(0)
+    state = {}
+
+    # ---------------- load ------------------------------------------
+    def do_load():
+        info = {}
+        if args.tiny:
+            from rga3_tpu.models.qwen25vl import tiny_config
+            from rga3_tpu.models.sam2 import tiny_sam2_config
+            from rga3_tpu.models.unigr.model import (
+                SegHeadConfig, UniGR, UniGRConfig,
+            )
+
+            qcfg = tiny_config(vocab_size=152_000)
+            scfg = tiny_sam2_config(image_size=64).replace(d_model=32)
+            proc = QwenVLProcessor.from_pretrained(
+                "dummy", max_pixels=16 * 28 * 28,
+                video_max_pixels=16 * 28 * 28,
+            )
+            cfg = UniGRConfig(
+                qwen=qcfg, sam2=scfg,
+                seg=SegHeadConfig(out_dim=32,
+                                  seg_token_id=proc.seg_token_id),
+            )
+            model = UniGR(cfg)
+            frames = jnp.asarray(
+                rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+            )
+            lang = jnp.asarray(
+                rng.normal(size=(2, 1, 32)).astype(np.float32)
+            )
+            ids = jnp.asarray(
+                rng.integers(0, 1000, size=(1, 8)).astype(np.int32)
+            )
+            params = model.init(jax.random.PRNGKey(0), frames, lang, ids)
+            info["params_mb"] = round(sum(
+                x.size * x.dtype.itemsize
+                for x in jax.tree.leaves(params)
+            ) / 1e6, 1)
+            state.update(model=model, params=params, proc=proc, cfg=cfg)
+        else:
+            if not args.unigr_dir:
+                raise ValueError("--unigr_dir required without --tiny")
+            from rga3_tpu.config import SegHeadConfig
+            from rga3_tpu.models.qwen25vl import QWEN25_VL_7B
+            from rga3_tpu.models.qwen25vl.loader import load_unigr_params
+            from rga3_tpu.models.sam2 import SAM2_HIERA_L
+            from rga3_tpu.models.unigr import UniGR, UniGRConfig
+
+            proc = QwenVLProcessor.from_pretrained(args.unigr_dir)
+            cfg = UniGRConfig(
+                qwen=QWEN25_VL_7B, sam2=SAM2_HIERA_L,
+                seg=SegHeadConfig(
+                    out_dim=SAM2_HIERA_L.d_model,
+                    seg_token_id=proc.seg_token_id,
+                ),
+            )
+            model = UniGR(cfg)
+            params = load_unigr_params(args.unigr_dir)
+            n = sum(int(x.size) for x in jax.tree.leaves(params))
+            info["n_params"] = n
+            state.update(model=model, params=params, proc=proc, cfg=cfg)
+        if args.sam2_ckpt:
+            from rga3_tpu.models.sam2.loader import load_sam2_params
+
+            sp = load_sam2_params(args.sam2_ckpt)
+            info["sam2_leaves"] = len(jax.tree.leaves(sp))
+        if args.cotracker_ckpt:
+            from rga3_tpu.models.stom import load_cotracker3_checkpoint
+            from rga3_tpu.models.stom.cotracker3 import (
+                CoTracker3Offline, cotracker3_offline_config,
+            )
+
+            ct = CoTracker3Offline(cotracker3_offline_config())
+            shapes = jax.eval_shape(
+                ct.init, jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct((2, 384, 512, 3), jnp.float32),
+                jax.ShapeDtypeStruct((8, 3), jnp.float32),
+            )
+            zeros = jax.tree.map(
+                lambda s: np.zeros(s.shape, np.float32), shapes
+            )
+            cp = load_cotracker3_checkpoint(zeros, args.cotracker_ckpt)
+            info["cotracker_leaves"] = len(jax.tree.leaves(cp))
+            state["cotracker"] = (ct, cp)
+        return info
+
+    stage(report, "load", do_load)
+    if not report["load"]["ok"]:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps({"verify": "load failed"}))
+        return 1
+
+    # ---------------- activation diff -------------------------------
+    if not args.skip_act_diff:
+        def do_act():
+            cmd = [sys.executable,
+                   os.path.join(os.path.dirname(__file__),
+                                "activation_diff.py"),
+                   "--dtype", "bf16"]
+            cmd += ["--tiny"] if args.tiny else ["--hf_dir", args.unigr_dir]
+            r = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3600
+            )
+            if r.returncode != 0:
+                raise RuntimeError(r.stderr[-800:])
+            return {"tail": r.stdout.strip().splitlines()[-8:]}
+
+        stage(report, "act_diff", do_act)
+
+    model, params, proc = state["model"], state["params"], state["proc"]
+
+    def synth_frames(n, size=64):
+        return [
+            rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+
+    # ---------------- config 1: demo QA -----------------------------
+    def do_qa():
+        chat = UniGRChat(model, params, proc, max_new_tokens=8,
+                         compute_dtype=jnp.float32 if args.tiny else None)
+        state["chat"] = chat
+        outs = []
+        for _ in range(min(args.samples, 2) if args.tiny else args.samples):
+            outs.append(chat.answer(
+                "What is happening in this video?",
+                video_frames=synth_frames(2),
+            ))
+        assert all(isinstance(o, str) for o in outs)
+        return {"n": len(outs), "sample": outs[0][:80]}
+
+    stage(report["configs"], "config1_qa", do_qa)
+
+    # ---------------- config 2: ViP-Bench region QA -----------------
+    def do_vip():
+        from PIL import Image
+
+        from rga3_tpu.data.visual_prompts.generator import image_blending
+
+        chat = state.get("chat") or UniGRChat(
+            model, params, proc, max_new_tokens=8,
+            compute_dtype=jnp.float32 if args.tiny else None,
+        )
+        img = Image.fromarray(synth_frames(1, 96)[0])
+        img, _ = image_blending(
+            img, shape="rectangle", bbox_coord=(10, 10, 60, 60),
+            rgb_value=(255, 0, 0), image_size_anchor=96,
+        )
+        out = chat.answer(
+            "What is within the red rectangle?",
+            images=[np.asarray(img)],
+        )
+        assert isinstance(out, str)
+        return {"sample": out[:80]}
+
+    stage(report["configs"], "config2_vip", do_vip)
+
+    # ---------------- config 3: image [SEG] -------------------------
+    def do_seg_img():
+        seg = UniGRSegmentor(
+            model, params, proc,
+            num_frames_mllm=2, sam_chunk=2,
+            compute_dtype=jnp.float32 if args.tiny else None,
+        )
+        state["seg"] = seg
+        frames = synth_frames(2)
+        gt = np.zeros((64, 64), bool)
+        gt[16:48, 16:48] = True
+        masks = seg.segment_video(frames, "the bright square")
+        pred = np.asarray(masks[0]) > 0
+        return {"pred_area": int(pred.sum()), "giou_vs_synth_gt":
+                round(giou_ciou(pred, gt), 4)}
+
+    stage(report["configs"], "config3_seg", do_seg_img)
+
+    # ---------------- config 4: video [SEG] (J&F) -------------------
+    def do_vos():
+        from rga3_tpu.evaluation.jf_metrics import db_eval_boundary, db_eval_iou
+
+        seg = state.get("seg")
+        if seg is None:
+            raise RuntimeError("config3 segmentor unavailable")
+        frames = synth_frames(4)
+        masks = seg.segment_video(frames, "the moving object")
+        gt = np.zeros((len(masks), 64, 64), np.uint8)
+        gt[:, 20:44, 20:44] = 1
+        js, fs = [], []
+        for m, g in zip(masks, gt):
+            pm = (np.asarray(m) > 0).astype(np.uint8)
+            js.append(db_eval_iou(g, pm))
+            fs.append(db_eval_boundary(g, pm))
+        return {"J_mean": round(float(np.mean(js)), 4),
+                "F_mean": round(float(np.mean(fs)), 4),
+                "frames": len(masks)}
+
+    stage(report["configs"], "config4_vos", do_vos)
+
+    ok = report["load"]["ok"] and all(
+        v.get("ok") for v in report["configs"].values()
+    )
+    report["all_ok"] = bool(ok)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({
+        "verify_checkpoints": report["mode"], "all_ok": report["all_ok"],
+        "out": args.out,
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
