@@ -116,3 +116,52 @@ class StepTimer:
             "p95_s": float(np.percentile(arr, 95)),
             "steps_per_sec": float(1.0 / max(arr.mean(), 1e-9)),
         }
+
+
+# --------------------------------------------------------------- MFU
+# Peak dense bf16 matmul throughput per chip (public TPU specs). The
+# axon relay reports its own device_kind, so unknown kinds fall back to
+# v5e (this environment's chip).
+_PEAK_BF16_FLOPS = {
+    "v4": 275e12,
+    "v5e": 197e12,
+    "v5 lite": 197e12,
+    "v5litepod": 197e12,
+    "v5p": 459e12,
+    "v6e": 918e12,
+}
+
+
+def peak_flops_per_chip(default: float = 197e12) -> float:
+    import jax
+
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return default
+    for name, val in _PEAK_BF16_FLOPS.items():
+        if name in kind:
+            return val
+    return default
+
+
+def compiled_flops(fn, *args, **kwargs) -> float:
+    """Model FLOPs of one call as XLA counts them (compiled cost
+    analysis). Returns 0.0 when the backend exposes no cost model."""
+    import jax
+
+    try:
+        compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def mfu(flops_per_call: float, seconds_per_call: float) -> float:
+    """Model FLOPs utilization vs the chip's peak bf16 matmul rate."""
+    if flops_per_call <= 0 or seconds_per_call <= 0:
+        return 0.0
+    return flops_per_call / seconds_per_call / peak_flops_per_chip()

@@ -144,6 +144,20 @@ def main():
         np.asarray(run())
         best = max(best, 1.0 / (time.time() - t0))
 
+    # Analytic model FLOPs (the pipeline spans several jitted fns, so XLA
+    # cost analysis of one compiled graph can't cover it): 2*P per token —
+    # vision params see n_patches tokens, LM params see prefill + decode.
+    # int8 dequantizes to the same math FLOPs.
+    def subtree_size(t):
+        import jax as _jax
+
+        return sum(int(x.size) for x in _jax.tree.leaves(t))
+
+    pv = subtree_size(params["params"].get("visual", {}))
+    pt = subtree_size(params["params"]) - pv
+    flops = 2.0 * pv * n_patches + 2.0 * pt * (L + args.decode)
+    from rga3_tpu.utils.profiling import mfu
+
     print(json.dumps({
         "metric": "videoinfer_qa_pipeline_throughput",
         "size": args.size,
@@ -153,6 +167,7 @@ def main():
         "value": round(best, 3),
         "unit": "samples/sec/chip",
         "ms_per_sample": round(1000.0 / best, 1),
+        "mfu": round(mfu(flops, 1.0 / best), 4) if best else 0.0,
     }))
 
 

@@ -129,7 +129,14 @@ def main():
     }
 
     t0 = time.time()
-    state, aux = step(state, batch)
+    step_c = step.lower(state, batch).compile()
+    try:
+        ca = step_c.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        step_flops = 0.0
+    state, aux = step_c(state, batch)
     loss0 = float(aux["loss"])
     print(
         f"# compile+first step {time.time()-t0:.1f}s loss={loss0:.3f}",
@@ -139,9 +146,11 @@ def main():
     best = 0.0
     for _ in range(args.steps):
         t0 = time.time()
-        state, aux = step(state, batch)
+        state, aux = step_c(state, batch)
         float(aux["loss"])  # host fetch forces completion
         best = max(best, B / (time.time() - t0))
+
+    from rga3_tpu.utils.profiling import mfu
 
     print(json.dumps({
         "metric": "unigr_train_step_throughput",
@@ -151,6 +160,7 @@ def main():
         "value": round(best, 3),
         "unit": "samples/sec/chip",
         "step_ms": round(1000 * B / best, 1),
+        "mfu": round(mfu(step_flops, B / best), 4) if best else 0.0,
     }))
 
 
