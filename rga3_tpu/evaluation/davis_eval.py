@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .jf_metrics import db_eval_boundary, db_eval_iou
+from .jf_metrics import db_eval_boundary, db_eval_iou, db_statistics
 
 DAVIS_PALETTE = np.zeros((256, 3), np.uint8)
 for i in range(256):
@@ -30,15 +30,21 @@ for i in range(256):
 
 
 def merge_objects_to_palette(
-    per_object_masks: Sequence[np.ndarray],  # list of (T, H, W) bool
+    per_object_masks: Sequence[np.ndarray],  # list of (T, H, W) float/bool
 ) -> np.ndarray:
-    """Merge per-object binary masks into (T, H, W) uint8 id maps; later
-    objects overwrite earlier ones on overlap (ref post_process_davis)."""
-    t, h, w = per_object_masks[0].shape
-    out = np.zeros((t, h, w), np.uint8)
-    for oid, m in enumerate(per_object_masks, start=1):
-        out[m.astype(bool)] = oid
-    return out
+    """Merge per-object masks into (T, H, W) uint8 id maps via the
+    reference's argmax convention (ref post_process_davis.py:82-87):
+    scores below 0.5 are zeroed, a constant-0.1 background plane is
+    prepended, and argmax picks the object — so on an exact tie the
+    LOWER object id wins (argmax returns the first maximum)."""
+    masks = np.stack(
+        [m.astype(np.float32) for m in per_object_masks]
+    )  # (O, T, H, W)
+    masks[masks < 0.5] = 0.0
+    bg = np.full((1,) + masks.shape[1:], 0.1, np.float32)
+    return np.argmax(
+        np.concatenate([bg, masks], axis=0), axis=0
+    ).astype(np.uint8)
 
 
 def save_palette_pngs(id_maps: np.ndarray, names: Sequence[str],
@@ -88,4 +94,138 @@ def evaluate_davis(
         "F": float(np.mean([s["F"] for s in per_seq])),
         "J&F": float(np.mean([s["J&F"] for s in per_seq])),
         "n": len(per_seq),
+    }
+
+
+def evaluate_davis_official(
+    results: Dict[str, Dict[str, np.ndarray]],
+    # seq -> {"gt": (T,H,W) ids, "pred": (T,H,W) ids}
+) -> Dict[str, object]:
+    """The official DAVIS evaluator's output tables (ref
+    evaluation/refdavis/eval_davis.py:43-61 + davis2017/evaluation.py:
+    66-101): per-(sequence, object) [M, R, D] statistics of the
+    per-frame J and F values, and the global means
+    [J&F-Mean, J-Mean, J-Recall, J-Decay, F-Mean, F-Recall, F-Decay]."""
+    j_stats: List = []
+    f_stats: List = []
+    per_sequence: Dict[str, Dict[str, float]] = {}
+    for seq, v in results.items():
+        gt_ids, pred_ids = v["gt"], v["pred"]
+        sl = slice(1, -1) if gt_ids.shape[0] > 2 else slice(None)
+        for oid in sorted(set(np.unique(gt_ids)) - {0}):
+            jf = db_eval_iou(gt_ids[sl] == oid, pred_ids[sl] == oid)
+            ff = db_eval_boundary(gt_ids[sl] == oid, pred_ids[sl] == oid)
+            jm = db_statistics(np.atleast_1d(jf))
+            fm = db_statistics(np.atleast_1d(ff))
+            j_stats.append(jm)
+            f_stats.append(fm)
+            per_sequence[f"{seq}_{oid}"] = {
+                "J-Mean": jm[0], "F-Mean": fm[0],
+            }
+    if not j_stats:
+        return {"global": {}, "per_sequence": {}}
+    j = np.asarray(j_stats)
+    f = np.asarray(f_stats)
+    glob = {
+        "J&F-Mean": float((j[:, 0].mean() + f[:, 0].mean()) / 2),
+        "J-Mean": float(j[:, 0].mean()),
+        "J-Recall": float(j[:, 1].mean()),
+        "J-Decay": float(j[:, 2].mean()),
+        "F-Mean": float(f[:, 0].mean()),
+        "F-Recall": float(f[:, 1].mean()),
+        "F-Decay": float(f[:, 2].mean()),
+    }
+    return {"global": glob, "per_sequence": per_sequence}
+
+
+def average_annotators(
+    annotator_globals: Sequence[Dict[str, float]],
+) -> Dict[str, float]:
+    """Ref-DAVIS convention: the official evaluator runs once per
+    annotator result tree (4 annotators, ref post_process_davis.py:54)
+    and the reported number is the mean of the global tables."""
+    if not annotator_globals:
+        return {}
+    keys = annotator_globals[0].keys()
+    return {
+        k: float(np.mean([g[k] for g in annotator_globals])) for k in keys
+    }
+
+
+def postprocess_davis(
+    src_dir: str, ann_file: str, dst_dir: str, num_annotators: int = 4
+) -> List[str]:
+    """Per-expression mask PNGs -> per-annotator palette trees (ref
+    post_process_davis.py:30-99). Ref-DAVIS pairs each object with 4
+    annotator expressions, interleaved as exp index = obj_id * 4 +
+    anno_id; per annotator the objects are merged by the thresholded
+    argmax-with-background rule and written as palette PNGs named
+    {frame:05d}.png under <dst>/anno_<k>/<video>/."""
+    from PIL import Image
+
+    with open(ann_file) as f:
+        videos = json.load(f)["videos"]
+    out_dirs = [
+        os.path.join(dst_dir, f"anno_{k}") for k in range(num_annotators)
+    ]
+    for video, vd in videos.items():
+        exp_ids = list(vd["expressions"].keys())
+        num_obj = len(exp_ids) // num_annotators
+        for anno_id in range(num_annotators):
+            objs = []
+            for obj_id in range(num_obj):
+                exp_id = exp_ids[obj_id * num_annotators + anno_id]
+                mdir = os.path.join(src_dir, video, exp_id)
+                files = sorted(os.listdir(mdir))
+                objs.append(np.stack([
+                    np.asarray(
+                        Image.open(os.path.join(mdir, f)).convert("L"),
+                        dtype=np.float32,
+                    ) / 255.0
+                    for f in files
+                ]))
+            if not objs:
+                continue
+            id_maps = merge_objects_to_palette(objs)
+            adir = os.path.join(out_dirs[anno_id], video)
+            os.makedirs(adir, exist_ok=True)
+            save_palette_pngs(
+                id_maps, [f"{i:05d}" for i in range(len(id_maps))], adir
+            )
+    return out_dirs
+
+
+def _load_palette_stack(d: str) -> np.ndarray:
+    from PIL import Image
+
+    files = sorted(f for f in os.listdir(d) if f.endswith(".png"))
+    return np.stack([
+        np.asarray(Image.open(os.path.join(d, f)), dtype=np.uint8)
+        for f in files
+    ])
+
+
+def eval_davis_annotators(
+    dst_dir: str, gt_dir: str, num_annotators: int = 4
+) -> Dict[str, object]:
+    """Run the official evaluation per annotator tree against the DAVIS
+    palette GT (<gt_dir>/<video>/*.png) and average the global tables
+    (ref eval_davis.py run per anno_k + mean)."""
+    per_annotator = []
+    for k in range(num_annotators):
+        adir = os.path.join(dst_dir, f"anno_{k}")
+        if not os.path.isdir(adir):
+            continue
+        results = {}
+        for video in sorted(os.listdir(adir)):
+            gdir = os.path.join(gt_dir, video)
+            if not os.path.isdir(gdir):
+                continue
+            pred = _load_palette_stack(os.path.join(adir, video))
+            gt = _load_palette_stack(gdir)[: len(pred)]
+            results[video] = {"gt": gt, "pred": pred}
+        per_annotator.append(evaluate_davis_official(results)["global"])
+    return {
+        "per_annotator": per_annotator,
+        "mean": average_annotators(per_annotator),
     }

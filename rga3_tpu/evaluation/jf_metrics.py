@@ -135,6 +135,21 @@ def db_eval_boundary(
     return f_measure(segmentation, annotation, void_pixels, bound_th)
 
 
+def db_statistics(per_frame_values: np.ndarray):
+    """(mean, recall, decay) of a per-frame measure — the official DAVIS
+    protocol statistics (ref evaluation/refdavis/davis2017/utils.py:135-160):
+    recall = fraction of frames above 0.5; decay = mean of the first
+    quarter of frames minus mean of the last quarter."""
+    v = np.asarray(per_frame_values, np.float64)
+    mean = float(np.nanmean(v))
+    recall = float(np.nanmean(v > 0.5))
+    ids = np.round(np.linspace(1, len(v), 5) + 1e-10) - 1
+    ids = ids.astype(int)
+    bins = [v[ids[i]:ids[i + 1] + 1] for i in range(4)]
+    decay = float(np.nanmean(bins[0]) - np.nanmean(bins[3]))
+    return mean, recall, decay
+
+
 def r2vos_accuracy(
     gt_masks: np.ndarray, pred_masks: np.ndarray
 ) -> np.ndarray:

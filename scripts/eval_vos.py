@@ -147,6 +147,24 @@ def main():
             "Ref-YTVOS has no local eval stage (server-side J&F); "
             "run --stage infer and submit the PNG tree"
         )
+    elif args.benchmark == "davis":
+        from rga3_tpu.evaluation.davis_eval import (
+            eval_davis_annotators, postprocess_davis,
+        )
+        from rga3_tpu.evaluation.video_seg_eval import resolve_layout
+
+        ann, _ = resolve_layout(args.data_root, args.split, "davis")
+        merged = os.path.join(args.out_dir, "merged")
+        postprocess_davis(args.out_dir, ann, merged)
+        gt_dir = os.path.join(args.data_root, args.split, "Annotations")
+        if not os.path.isdir(gt_dir):
+            gt_dir = os.path.join(
+                args.data_root, "Annotations_unsupervised", "480p"
+            )
+        scores = eval_davis_annotators(merged, gt_dir)
+        print(json.dumps(scores, indent=2))
+        with open(os.path.join(args.out_dir, "davis_scores.json"), "w") as f:
+            json.dump(scores, f, indent=2)
     elif args.benchmark == "revos":
         scores = run_eval_revos(
             args.data_root, args.split, args.out_dir,

@@ -70,6 +70,7 @@ def test_trainable_overfit_step(tiny_tracker):
     assert l1 < l0  # learning signal flows through sampling + transformer
 
 
+@pytest.mark.slow
 def test_stom_backend_interface(tiny_tracker):
     model, params, frames, queries = tiny_tracker
     backend = CoTrackerJax(model, params)
@@ -141,6 +142,7 @@ def test_cotracker_learns_on_synthetic_motion():
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+@pytest.mark.slow
 def test_save_load_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -15,9 +15,26 @@ from rga3_tpu.models.stom.cotracker3 import (
 
 
 @pytest.fixture(scope="module")
-def tiny():
+def tiny_shapes():
+    """Params tree built from eval_shape (cheap — no compute); enough for
+    every converter test."""
     cfg = tiny_cotracker3_config()
     model = CoTracker3Offline(cfg)
+    frames = jax.ShapeDtypeStruct((4, 48, 64, 3), jnp.float32)
+    queries = jax.ShapeDtypeStruct((6, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), frames, queries
+    )
+    rng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: rng.normal(0, 0.02, s.shape).astype(np.float32), shapes
+    )
+    return cfg, model, params
+
+
+@pytest.fixture(scope="module")
+def tiny(tiny_shapes):
+    cfg, model, params = tiny_shapes
     frames = jnp.asarray(
         np.random.default_rng(0).uniform(0, 255, (4, 48, 64, 3)).astype(
             np.float32
@@ -28,10 +45,10 @@ def tiny():
          [0, 20, 8]],
         jnp.float32,
     )
-    params = model.init(jax.random.PRNGKey(0), frames, queries)
     return cfg, model, params, frames, queries
 
 
+@pytest.mark.slow
 def test_forward_shapes(tiny):
     cfg, model, params, frames, queries = tiny
     out = model.apply(params, frames, queries)
@@ -51,8 +68,8 @@ def test_get_2d_embedding_dims():
     assert get_2d_embedding(xy, 8, cat_coords=False).shape == (3, 5, 16)
 
 
-def test_state_dict_roundtrip(tiny):
-    _, _, params, _, _ = tiny
+def test_state_dict_roundtrip(tiny_shapes):
+    _, _, params = tiny_shapes
     sd = export_torch_state_dict(params)
     # perturb every tensor, load, and re-export: must match the
     # perturbed values exactly (bijective mapping, correct transposes)
@@ -64,8 +81,8 @@ def test_state_dict_roundtrip(tiny):
         np.testing.assert_array_equal(back[k], sd2[k])
 
 
-def test_loader_rejects_missing_and_unexpected(tiny):
-    _, _, params, _, _ = tiny
+def test_loader_rejects_missing_and_unexpected(tiny_shapes):
+    _, _, params = tiny_shapes
     sd = export_torch_state_dict(params)
     bad = dict(sd)
     bad.pop("fnet.conv1.weight")
@@ -76,8 +93,8 @@ def test_loader_rejects_missing_and_unexpected(tiny):
     load_torch_state_dict(params, good)
 
 
-def test_loader_rejects_shape_mismatch(tiny):
-    _, _, params, _, _ = tiny
+def test_loader_rejects_shape_mismatch(tiny_shapes):
+    _, _, params = tiny_shapes
     sd = export_torch_state_dict(params)
     sd["updateformer.input_transform.weight"] = np.zeros(
         (7, 7), np.float32

@@ -160,6 +160,7 @@ def test_global_block_interpret_matches_reference():
     )
 
 
+@pytest.mark.slow
 def test_global_block_is_differentiable():
     from rga3_tpu.ops.fused_block import (
         _reference_global_block,

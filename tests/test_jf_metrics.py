@@ -65,8 +65,104 @@ def test_merge_objects_to_palette():
     assert (idmap[0, 0] == 1).all()
     assert (idmap[0, 4] == 2).all()
     assert (idmap[0, 2] == 0).all()
-    # overlap: later object id wins (DAVIS merge convention: higher id
-    # painted over lower)
+    # overlap: the reference's argmax merge gives ties to the LOWER
+    # object id (post_process_davis.py:82-87 — argmax returns the first
+    # maximum over [0.1 background, obj1, obj2, ...])
     masks[1, :, 1] = True
     idmap2 = merge_objects_to_palette(masks)
-    assert (idmap2[0, 1] == 2).all()
+    assert (idmap2[0, 1] == 1).all()
+
+
+def test_db_statistics_mean_recall_decay():
+    from rga3_tpu.evaluation.jf_metrics import db_statistics
+
+    # 8 frames declining from 1.0 to 0.3
+    v = np.asarray([1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3])
+    m, r, d = db_statistics(v)
+    np.testing.assert_allclose(m, v.mean())
+    np.testing.assert_allclose(r, np.mean(v > 0.5))  # 5/8
+    # official binning: ids = round(linspace(1, 8, 5)) - 1 = [0,2,3,5,7]
+    # (np.round(4.5) == 4, banker's rounding); bin0 = v[0:3], bin3 = v[5:8]
+    np.testing.assert_allclose(d, v[0:3].mean() - v[5:8].mean())
+
+
+def test_evaluate_davis_official_tables():
+    from rga3_tpu.evaluation.davis_eval import (
+        average_annotators, evaluate_davis_official,
+    )
+
+    t, h, w = 6, 16, 16
+    gt = np.zeros((t, h, w), np.uint8)
+    gt[:, 2:10, 2:10] = 1
+    pred_perfect = gt.copy()
+    out = evaluate_davis_official({"seq": {"gt": gt, "pred": pred_perfect}})
+    g = out["global"]
+    assert set(g) == {"J&F-Mean", "J-Mean", "J-Recall", "J-Decay",
+                      "F-Mean", "F-Recall", "F-Decay"}
+    np.testing.assert_allclose(g["J-Mean"], 1.0)
+    np.testing.assert_allclose(g["J-Recall"], 1.0)
+    np.testing.assert_allclose(g["J-Decay"], 0.0, atol=1e-12)
+    assert "seq_1" in out["per_sequence"]
+
+    pred_bad = np.zeros_like(gt)
+    out_bad = evaluate_davis_official({"seq": {"gt": gt, "pred": pred_bad}})
+    assert out_bad["global"]["J-Mean"] < 0.2
+
+    avg = average_annotators([g, out_bad["global"]])
+    np.testing.assert_allclose(
+        avg["J-Mean"], (g["J-Mean"] + out_bad["global"]["J-Mean"]) / 2
+    )
+
+
+def test_davis_postprocess_and_annotator_eval(tmp_path):
+    """Per-expression PNGs -> 4-annotator palette trees -> official
+    global tables averaged over annotators (fixture in the reference's
+    file layout: exp index = obj_id*4 + anno_id)."""
+    import json
+
+    from PIL import Image
+
+    from rga3_tpu.evaluation.davis_eval import (
+        eval_davis_annotators, postprocess_davis,
+    )
+
+    t, h, w = 4, 16, 16
+    video = "seq0"
+    # two objects, disjoint squares
+    obj_boxes = [(2, 2, 8, 8), (9, 9, 15, 15)]
+    src = tmp_path / "preds"
+    exps = {}
+    for obj_id in range(2):
+        for anno_id in range(4):
+            exp_id = str(obj_id * 4 + anno_id)
+            exps[exp_id] = {"exp": f"obj{obj_id}"}
+            d = src / video / exp_id
+            d.mkdir(parents=True)
+            y0, x0, y1, x1 = obj_boxes[obj_id]
+            m = np.zeros((h, w), np.uint8)
+            m[y0:y1, x0:x1] = 255
+            for f in range(t):
+                Image.fromarray(m).save(d / f"{f:05d}.png")
+    ann = tmp_path / "meta_expressions.json"
+    ann.write_text(json.dumps({"videos": {video: {
+        "expressions": exps, "frames": [f"{i:05d}" for i in range(t)],
+    }}}))
+    # GT palette annotations identical to the merged prediction
+    from rga3_tpu.evaluation.davis_eval import save_palette_pngs
+
+    gt_dir = tmp_path / "Annotations"
+    gt = np.zeros((h, w), np.uint8)
+    for oid, (y0, x0, y1, x1) in enumerate(obj_boxes, 1):
+        gt[y0:y1, x0:x1] = oid
+    save_palette_pngs(
+        np.stack([gt] * t), [f"{i:05d}" for i in range(t)],
+        str(gt_dir / video),
+    )
+
+    merged = str(tmp_path / "merged")
+    out_dirs = postprocess_davis(str(src), str(ann), merged)
+    assert len(out_dirs) == 4
+    scores = eval_davis_annotators(merged, str(gt_dir))
+    assert len(scores["per_annotator"]) == 4
+    np.testing.assert_allclose(scores["mean"]["J&F-Mean"], 1.0)
+    np.testing.assert_allclose(scores["mean"]["J-Recall"], 1.0)

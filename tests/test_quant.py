@@ -37,6 +37,7 @@ def test_int8_matmul_close_to_dense():
     assert rel < 0.01, rel
 
 
+@pytest.mark.slow
 def test_quantized_tree_and_lm_forward():
     cfg = tiny_config(vocab_size=1000).text
     fp = QwenForCausalLM(cfg)

@@ -240,6 +240,7 @@ def test_vit_h_full_parity():
     )
 
 
+@pytest.mark.slow
 def test_batch_scanned_global_attention_matches_per_sample():
     """The lax.map batch scan (memory-bounding path for >=1024-token
     global blocks) must match unscanned per-sample attention."""

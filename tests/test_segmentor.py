@@ -48,6 +48,7 @@ def test_seg_messages_contain_teacher_forced_seg():
     assert "the red car" in msgs[0].content[1]["text"]
 
 
+@pytest.mark.slow
 def test_segment_video_shapes_and_chunking(segmentor):
     rng = np.random.default_rng(1)
     frames = [
