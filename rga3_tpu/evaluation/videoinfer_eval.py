@@ -25,8 +25,13 @@ def run_inference(
     use_stom: bool = True,
     subset_idx: int = 0,
     subset_num: int = 1,
+    batch_size: int = 1,
 ) -> int:
-    """Writes {"id", "pred"} JSON lines; resumes past existing ids."""
+    """Writes {"id", "pred"} JSON lines; resumes past existing ids.
+
+    batch_size > 1 runs the decode through `chat.answer_batch` — decode
+    is weight-bound at batch 1, so eval throughput scales near-linearly
+    with the batch (the reference instead shards one sample per GPU)."""
     from PIL import Image
 
     done_ids = set()
@@ -44,36 +49,65 @@ def run_inference(
         from ..models.stom import STOM
 
         stom = STOM()
+
+    def prepare(item):
+        frames = item["frames"]  # list of np RGB
+        overlay = item.get("vip_overlay")
+        if overlay is not None:
+            key = item.get("key_idx", 0)
+            if stom is not None:
+                pil_frames = [Image.fromarray(f) for f in frames]
+                vip = Image.fromarray(overlay, "RGBA")
+                blended = stom.propagate_in_video(
+                    pil_frames, vip, key,
+                    shape=item.get("shape", "rectangle"),
+                )
+                frames = [np.asarray(f) for f in blended]
+            else:
+                base = Image.fromarray(frames[key]).convert("RGBA")
+                vip = Image.fromarray(overlay, "RGBA")
+                frames = list(frames)
+                frames[key] = np.asarray(
+                    Image.alpha_composite(base, vip).convert("RGB")
+                )
+        question = REFERRING_VQA_PROMPT.format(text=item["question"])
+        return question, frames
+
+    batched = batch_size > 1 and hasattr(chat, "answer_batch")
     with open(out_path, "a") as out:
+        pending: List = []
+
+        def flush():
+            nonlocal n
+            if not pending:
+                return
+            preds = chat.answer_batch(
+                [q for _, q, _ in pending],
+                video_frames_list=[f for _, _, f in pending],
+            )
+            for (pid, _, _), pred in zip(pending, preds):
+                out.write(json.dumps({"id": pid, "pred": pred}) + "\n")
+                n += 1
+            out.flush()
+            pending.clear()
+
         for i, item in enumerate(items):
             if i % subset_num != subset_idx:
                 continue
             if item["id"] in done_ids:
                 continue
-            frames = item["frames"]  # list of np RGB
-            overlay = item.get("vip_overlay")
-            if overlay is not None:
-                key = item.get("key_idx", 0)
-                if stom is not None:
-                    pil_frames = [Image.fromarray(f) for f in frames]
-                    vip = Image.fromarray(overlay, "RGBA")
-                    blended = stom.propagate_in_video(
-                        pil_frames, vip, key,
-                        shape=item.get("shape", "rectangle"),
-                    )
-                    frames = [np.asarray(f) for f in blended]
-                else:
-                    base = Image.fromarray(frames[key]).convert("RGBA")
-                    vip = Image.fromarray(overlay, "RGBA")
-                    frames = list(frames)
-                    frames[key] = np.asarray(
-                        Image.alpha_composite(base, vip).convert("RGB")
-                    )
-            question = REFERRING_VQA_PROMPT.format(text=item["question"])
+            question, frames = prepare(item)
+            if batched:
+                pending.append((item["id"], question, frames))
+                if len(pending) >= batch_size:
+                    flush()
+                continue
             pred = chat.answer(question, video_frames=frames)
             out.write(json.dumps({"id": item["id"], "pred": pred}) + "\n")
             out.flush()
             n += 1
+        if batched:
+            flush()
     return n
 
 

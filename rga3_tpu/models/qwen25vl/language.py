@@ -50,6 +50,10 @@ def make_kv_cache(
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "idx": jnp.zeros((), jnp.int32),  # filled length (uniform per batch)
+        # per-row key validity: right-padded prefills leave pad K/V in the
+        # cache between a short row's last token and the decode appends;
+        # decode attention masks them via this plane
+        "seg": jnp.zeros((batch, max_len), jnp.int32),
     }
 
 
@@ -120,6 +124,7 @@ class Attention(nn.Module):
         segment_ids: Optional[jnp.ndarray],
         layer_cache: Optional[Dict[str, jnp.ndarray]] = None,
         cache_idx: Optional[jnp.ndarray] = None,
+        cache_seg: Optional[jnp.ndarray] = None,  # (B, max_len) 0 = pad
     ):
         cfg = self.cfg
         b, l, _ = x.shape
@@ -190,6 +195,9 @@ class Attention(nn.Module):
             kpos = jnp.arange(max_len)[None, None, None, :]
             qpos = (cache_idx + jnp.arange(l))[None, None, :, None]
             valid = kpos <= qpos  # causal within the appended block too
+            if cache_seg is not None:
+                # mask pad K/V left in the cache by right-padded prefills
+                valid = valid & (cache_seg[:, None, None, :] > 0)
             logits = jnp.where(valid, logits, -1e30)
             probs = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum(
@@ -224,10 +232,11 @@ class DecoderLayer(nn.Module):
     cfg: QwenTextConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, segment_ids, layer_cache, cache_idx):
+    def __call__(self, x, cos, sin, segment_ids, layer_cache, cache_idx,
+                 cache_seg=None):
         attn_out, new_cache = Attention(self.cfg, name="self_attn")(
             RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x),
-            cos, sin, segment_ids, layer_cache, cache_idx,
+            cos, sin, segment_ids, layer_cache, cache_idx, cache_seg,
         )
         x = x + attn_out
         x = x + MLP(self.cfg, name="mlp")(
@@ -258,9 +267,23 @@ class QwenLM(nn.Module):
         x = inputs_embeds
         cache_idx = None if cache is None else cache["idx"]
 
+        # maintain the per-row key-validity plane alongside the K/V cache
+        # (pads from right-padded prefills must stay masked during decode)
+        cache_seg = None
+        if cache is not None and "seg" in cache:
+            b_, l_ = x.shape[:2]
+            seg_now = (
+                segment_ids.astype(jnp.int32)
+                if segment_ids is not None
+                else jnp.ones((b_, l_), jnp.int32)
+            )
+            cache_seg = jax.lax.dynamic_update_slice(
+                cache["seg"], seg_now, (0, cache_idx)
+            )
+
         if cfg.scan_layers:
             x, new_cache = self._scan_layers(
-                x, cos, sin, segment_ids, cache, cache_idx
+                x, cos, sin, segment_ids, cache, cache_idx, cache_seg
             )
         else:
             new_k, new_v = [], []
@@ -274,7 +297,8 @@ class QwenLM(nn.Module):
                 if cache is not None:
                     layer_cache = {"k": cache["k"][i], "v": cache["v"][i]}
                 x, updated = layer_cls(cfg, name=f"layers_{i}")(
-                    x, cos, sin, segment_ids, layer_cache, cache_idx
+                    x, cos, sin, segment_ids, layer_cache, cache_idx,
+                    cache_seg,
                 )
                 if cache is not None:
                     new_k.append(updated[0])
@@ -291,9 +315,12 @@ class QwenLM(nn.Module):
 
         if new_cache is not None:
             new_cache["idx"] = cache["idx"] + inputs_embeds.shape[1]
+            if cache_seg is not None:
+                new_cache["seg"] = cache_seg
         return x, new_cache
 
-    def _scan_layers(self, x, cos, sin, segment_ids, cache, cache_idx):
+    def _scan_layers(self, x, cos, sin, segment_ids, cache, cache_idx,
+                     cache_seg=None):
         cfg = self.cfg
 
         class ScannedLayer(nn.Module):
@@ -308,7 +335,8 @@ class QwenLM(nn.Module):
                         DecoderLayer, static_argnums=(), prevent_cse=False
                     )
                 out, updated = layer(self.cfg_, name="layer")(
-                    carry, cos, sin, segment_ids, layer_cache, cache_idx
+                    carry, cos, sin, segment_ids, layer_cache, cache_idx,
+                    cache_seg,
                 )
                 if layer_cache is None:
                     return out, None

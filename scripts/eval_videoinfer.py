@@ -102,6 +102,9 @@ def main():
     p.add_argument("--subset_num", type=int, default=1)
     p.add_argument("--use_stom", action="store_true")
     p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=4,
+                   help=">1 batches prefill+decode via answer_batch "
+                   "(weight-bound decode: near-linear eval speedup)")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only LLM + vision tower (ops.quant)")
     args = p.parse_args()
@@ -134,7 +137,7 @@ def main():
         n = vi.run_inference(
             chat, list(load_items(args.data_root, args.split)), args.out,
             use_stom=args.use_stom, subset_idx=args.subset_idx,
-            subset_num=args.subset_num,
+            subset_num=args.subset_num, batch_size=args.batch_size,
         )
         print(f"inferred {n} items")
     elif args.stage == "merge":

@@ -99,3 +99,31 @@ def test_chat_suppress_ids_respected(chat):
     )
     toks = [int(t.replace("tok", "")) for t in out.split()]
     assert first_tok not in toks
+
+
+@pytest.mark.slow
+def test_answer_batch_matches_sequential(chat):
+    """Batched prefill+decode (right-padded, shared vision scatter) must
+    reproduce the per-sample greedy answers."""
+    c, frames = chat
+    rng = np.random.default_rng(7)
+    frames2 = [
+        rng.integers(0, 255, (56, 56, 3), dtype=np.uint8) for _ in range(2)
+    ]
+    qs = ["What is shown?", "Describe the motion in detail please."]
+    seq = [
+        c.answer(qs[0], video_frames=frames),
+        c.answer(qs[1], video_frames=frames2),
+    ]
+    batch = c.answer_batch(qs, video_frames_list=[frames, frames2])
+    assert batch == seq
+
+
+@pytest.mark.slow
+def test_answer_batch_rejects_mixed_modality(chat):
+    c, frames = chat
+    with pytest.raises(ValueError):
+        c.answer_batch(
+            ["q"], video_frames_list=[frames],
+            images_list=[[np.zeros((28, 28, 3), np.uint8)]],
+        )
