@@ -29,6 +29,10 @@ def main():
     p.add_argument("--text-tokens", type=int, default=64)
     p.add_argument("--int8", action="store_true")
     p.add_argument("--samples", type=int, default=5)
+    p.add_argument("--batch", type=int, default=1,
+                   help="samples per batched prefill+decode (the\n"
+                   "answer_batch eval path; decode is weight-bound\n"
+                   "so samples/sec scales with batch)")
     args = p.parse_args()
 
     import jax
@@ -60,24 +64,26 @@ def main():
 
     # 8 frames -> 4 temporal groups x 16x20 patch grid = 320 merged tokens
     grid = (4, 16, 20) if args.size != "tiny" else (1, 4, 4)
+    B = args.batch
+    grids = [grid] * B
     n_patches = grid[0] * grid[1] * grid[2]
     n_merged = n_patches // vcfg.merge_unit
-    layout = compute_vision_layout([grid], vcfg)
+    layout = compute_vision_layout(grids, vcfg)
     la = layout_device_args(layout, vcfg)
 
     rng = np.random.default_rng(0)
     L = args.text_tokens + n_merged
-    ids = rng.integers(1000, 30_000, size=(1, L)).astype(np.int32)
+    ids = rng.integers(1000, 30_000, size=(B, L)).astype(np.int32)
     vid_start = args.text_tokens // 2
-    ids[0, vid_start : vid_start + n_merged] = VIDEO_PAD_TOKEN_ID
+    ids[:, vid_start : vid_start + n_merged] = VIDEO_PAD_TOKEN_ID
     pos, deltas = get_rope_index(
-        qcfg, ids, video_grid_thw=[grid],
-        second_per_grid_ts=[1.0],
+        qcfg, ids, video_grid_thw=grids,
+        second_per_grid_ts=[1.0] * B,
     )
     patches = jnp.asarray(
         rng.normal(
             size=(
-                n_patches,
+                B * n_patches,
                 3 * vcfg.temporal_patch_size * vcfg.patch_size**2,
             )
         ).astype(np.float32),
@@ -124,7 +130,7 @@ def main():
     def run():
         return greedy_generate(
             model, params,
-            jnp.asarray(ids), jnp.ones((1, L), jnp.int32),
+            jnp.asarray(ids), jnp.ones((B, L), jnp.int32),
             jnp.asarray(pos), jnp.asarray(deltas),
             max_new_tokens=args.decode,
             eos_token_id=-1,  # never stop early (throughput measurement)
@@ -142,7 +148,7 @@ def main():
     for _ in range(args.samples):
         t0 = time.time()
         np.asarray(run())
-        best = max(best, 1.0 / (time.time() - t0))
+        best = max(best, B / (time.time() - t0))
 
     # Analytic model FLOPs (the pipeline spans several jitted fns, so XLA
     # cost analysis of one compiled graph can't cover it): 2*P per token —
@@ -155,19 +161,20 @@ def main():
 
     pv = subtree_size(params["params"].get("visual", {}))
     pt = subtree_size(params["params"]) - pv
-    flops = 2.0 * pv * n_patches + 2.0 * pt * (L + args.decode)
+    flops = B * (2.0 * pv * n_patches + 2.0 * pt * (L + args.decode))
     from rga3_tpu.utils.profiling import mfu
 
     print(json.dumps({
         "metric": "videoinfer_qa_pipeline_throughput",
         "size": args.size,
+        "batch": args.batch,
         "int8": args.int8,
         "video_tokens": n_merged,
         "new_tokens": args.decode,
         "value": round(best, 3),
         "unit": "samples/sec/chip",
         "ms_per_sample": round(1000.0 / best, 1),
-        "mfu": round(mfu(flops, 1.0 / best), 4) if best else 0.0,
+        "mfu": round(mfu(flops, B / best), 4) if best else 0.0,
     }))
 
 
