@@ -332,12 +332,18 @@ class ReferVQADataset(TaskDataset):
             os.path.join(self.img_folder, meta["image"])
         ).convert("RGB")
         if meta["visual_prompt"]:
-            # ViP-LLaVA row ids don't carry a dataset prefix; key the
-            # organizer config explicitly (it raises on unknown types)
+            # Route rows by their id prefix: ViP-LLaVA's stage-2 mix
+            # includes vcr-/flickr30k-/v7w-/pointQA_twice-/refcocog-/
+            # vg_rel- rows that the organizer builds from raw fields
+            # (ref visual_prompt_organizer.py:653-658); rows without a
+            # known prefix carry pre-built conversations and take the
+            # marker-substitution path ("vip_llava").
+            from ..visual_prompts.organizer import VISUAL_PROMPT_CONFIG
+
+            rid = str(meta["line"].get("id", ""))
+            prefix = rid.split("-")[0]
             dtype = (
-                "osprey"
-                if str(meta["line"].get("id", "")).startswith("osprey")
-                else "vip_llava"
+                prefix if prefix in VISUAL_PROMPT_CONFIG else "vip_llava"
             )
             img, turns = vip_processor(
                 copy.deepcopy(meta["line"]), img, min(img.size),
