@@ -108,8 +108,11 @@ def run_vipbench_inference(
     items: Sequence[Dict],  # {"id", "image", "question"}
     out_path: str,
     tokenizer=None,
+    batch_size: int = 1,
 ) -> int:
-    """Single-image region QA with [SEG]/segmentation tokens banned."""
+    """Single-image region QA with [SEG]/segmentation tokens banned.
+    batch_size > 1 packs samples through `chat.answer_batch` (decode is
+    weight-bound; near-linear eval speedup)."""
     sup = suppress_token_ids(tokenizer) if tokenizer is not None else []
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     results = {}
@@ -117,14 +120,40 @@ def run_vipbench_inference(
         with open(out_path) as f:
             results = json.load(f)
     n = 0
+    batched = batch_size > 1 and hasattr(chat, "answer_batch")
+    pending: List[Dict] = []
+
+    def flush():
+        nonlocal n
+        if not pending:
+            return
+        preds = chat.answer_batch(
+            [it["question"] for it in pending],
+            images_list=[[it["image"]] for it in pending],
+            suppress_ids=sup,
+        )
+        for it, pred in zip(pending, preds):
+            results[str(it["id"])] = {"answer": pred}
+            n += 1
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        pending.clear()
+
     for item in items:
         if str(item["id"]) in results:
+            continue
+        if batched:
+            pending.append(item)
+            if len(pending) >= batch_size:
+                flush()
             continue
         pred = chat.answer(
             item["question"], images=[item["image"]], suppress_ids=sup
         )
         results[str(item["id"])] = {"answer": pred}
         n += 1
+    if batched:
+        flush()
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     return n

@@ -106,3 +106,37 @@ def test_vipbench_suppression_and_judge(tmp_path):
         runs=3,
     )
     assert scores == {"score": 8.0, "n": 1}
+
+
+def test_vipbench_batched_inference(tmp_path):
+    class BatchChat:
+        def __init__(self):
+            self.batches = []
+
+        def answer(self, *a, **k):
+            raise AssertionError("batched path must not call answer()")
+
+        def answer_batch(self, questions, images_list=None,
+                         suppress_ids=()):
+            self.batches.append(len(questions))
+            return [f"ans {q[-1]}" for q in questions]
+
+    rng = np.random.default_rng(2)
+    items = [{
+        "id": i,
+        "image": rng.integers(0, 255, (20, 20, 3), dtype=np.uint8),
+        "question": f"q {i}",
+    } for i in range(5)]
+    chat = BatchChat()
+    out = tmp_path / "vip.json"
+    n = run_vipbench_inference(chat, items, str(out), batch_size=2)
+    assert n == 5
+    assert chat.batches == [2, 2, 1]  # final partial batch flushed
+    import json as _json
+
+    res = _json.loads(out.read_text())
+    assert set(res) == {"0", "1", "2", "3", "4"}
+    # resume: everything recorded, nothing re-runs
+    assert run_vipbench_inference(
+        BatchChat(), items, str(out), batch_size=2
+    ) == 0
