@@ -345,10 +345,33 @@ class ReferVQADataset(TaskDataset):
             dtype = (
                 prefix if prefix in VISUAL_PROMPT_CONFIG else "vip_llava"
             )
-            img, turns = vip_processor(
-                copy.deepcopy(meta["line"]), img, min(img.size),
-                dataset_type=dtype,
-            )
+            # malformed rows resample instead of killing the run
+            # (ref refer_vqa_datatset.py:205-210 guards IndexError)
+            for _ in range(10):
+                try:
+                    img, turns = vip_processor(
+                        copy.deepcopy(meta["line"]), img, min(img.size),
+                        dataset_type=dtype, image_folder=self.img_folder,
+                    )
+                    break
+                except (IndexError, KeyError):
+                    meta = random.choice(self.metas)
+                    img = Image.open(
+                        os.path.join(self.img_folder, meta["image"])
+                    ).convert("RGB")
+                    if not meta["visual_prompt"]:
+                        turns = meta["line"]["conversations"]
+                        break
+                    rid = str(meta["line"].get("id", ""))
+                    prefix = rid.split("-")[0]
+                    dtype = (
+                        prefix if prefix in VISUAL_PROMPT_CONFIG
+                        else "vip_llava"
+                    )
+            else:
+                raise RuntimeError(
+                    "refer_vqa: 10 consecutive malformed rows"
+                )
         else:
             turns = meta["line"]["conversations"]
         turns = [dict(t) for t in turns]

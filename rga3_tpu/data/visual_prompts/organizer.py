@@ -120,13 +120,17 @@ def substitute_region_markers(
     return out
 
 
-def _load_vcr_meta(source: Dict) -> Dict:
+def _load_vcr_meta(source: Dict, image_folder: Optional[str]) -> Dict:
     """VCR per-image metadata (boxes/segms). The reference loads
-    `source['meta_dir']` rebased onto the image folder (ref :664-666);
-    here a pre-loaded dict may be supplied as `source['meta']`."""
+    `source['meta_dir']` with its './dataset' prefix rebased onto the
+    image folder (ref :664-666); a pre-loaded dict may be supplied as
+    `source['meta']` instead."""
     if "meta" in source:
         return source["meta"]
-    with open(source["meta_dir"]) as f:
+    meta_dir = source["meta_dir"]
+    if image_folder:
+        meta_dir = meta_dir.replace("./dataset", image_folder)
+    with open(meta_dir) as f:
         return json.load(f)
 
 
@@ -137,6 +141,7 @@ def vip_processor(
     dataset_type: Optional[str] = None,
     alpha: Optional[int] = None,
     visual_prompt_style: Optional[str] = None,
+    image_folder: Optional[str] = None,  # rebases VCR meta_dir paths
 ):
     """Overlay every instance prompt and return (image, conversation).
 
@@ -165,7 +170,7 @@ def vip_processor(
         source["segmentations"] = [None] * len(source["bboxes"])
 
     if dataset_type == "vcr":
-        meta = _load_vcr_meta(source)
+        meta = _load_vcr_meta(source, image_folder)
         if visual_prompt_style == "vcr_qa":
             shape_colors, all_idx, conversation = create_question_direct_qa(
                 source, pool, color_list

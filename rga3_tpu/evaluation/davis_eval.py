@@ -100,27 +100,79 @@ def evaluate_davis(
 def evaluate_davis_official(
     results: Dict[str, Dict[str, np.ndarray]],
     # seq -> {"gt": (T,H,W) ids, "pred": (T,H,W) ids}
+    task: str = "unsupervised",
+    max_n_proposals: int = 20,
 ) -> Dict[str, object]:
     """The official DAVIS evaluator's output tables (ref
     evaluation/refdavis/eval_davis.py:43-61 + davis2017/evaluation.py:
     66-101): per-(sequence, object) [M, R, D] statistics of the
     per-frame J and F values, and the global means
-    [J&F-Mean, J-Mean, J-Recall, J-Decay, F-Mean, F-Recall, F-Decay]."""
+    [J&F-Mean, J-Mean, J-Recall, J-Decay, F-Mean, F-Recall, F-Decay].
+
+    Ref-DAVIS runs the evaluator at its DEFAULT task='unsupervised'
+    (run eval_davis.py with no --task): ALL frames are scored and
+    prediction proposals are Hungarian-matched to GT objects by mean
+    (J+F)/2 (evaluation.py:44-64). task='semi-supervised' instead drops
+    the first/last frames and matches objects by identity (:28-42,
+    84-85)."""
+    from scipy.optimize import linear_sum_assignment
+
     j_stats: List = []
     f_stats: List = []
     per_sequence: Dict[str, Dict[str, float]] = {}
     for seq, v in results.items():
         gt_ids, pred_ids = v["gt"], v["pred"]
-        sl = slice(1, -1) if gt_ids.shape[0] > 2 else slice(None)
-        for oid in sorted(set(np.unique(gt_ids)) - {0}):
-            jf = db_eval_iou(gt_ids[sl] == oid, pred_ids[sl] == oid)
-            ff = db_eval_boundary(gt_ids[sl] == oid, pred_ids[sl] == oid)
-            jm = db_statistics(np.atleast_1d(jf))
-            fm = db_statistics(np.atleast_1d(ff))
-            j_stats.append(jm)
-            f_stats.append(fm)
+        if task == "semi-supervised":
+            sl = slice(1, -1) if gt_ids.shape[0] > 2 else slice(None)
+            gt_ids, pred_ids = gt_ids[sl], pred_ids[sl]
+        gt_objs = sorted(set(np.unique(gt_ids)) - {0})
+        if task == "unsupervised":
+            props = sorted(set(np.unique(pred_ids)) - {0})
+            props = props[:max_n_proposals]
+            if not props:
+                props = [255]  # no proposal: score an empty mask
+            n_p, n_g = len(props), len(gt_objs)
+            jm = np.zeros((n_p, n_g, gt_ids.shape[0]))
+            fm = np.zeros((n_p, n_g, gt_ids.shape[0]))
+            for gi, goid in enumerate(gt_objs):
+                for pi, poid in enumerate(props):
+                    jm[pi, gi] = db_eval_iou(
+                        gt_ids == goid, pred_ids == poid
+                    )
+                    fm[pi, gi] = db_eval_boundary(
+                        gt_ids == goid, pred_ids == poid
+                    )
+            score = (jm.mean(axis=2) + fm.mean(axis=2)) / 2
+            row, col = linear_sum_assignment(-score)
+            # rows beyond the number of proposals score as empty masks
+            j_per_obj = {c: jm[r, c] for r, c in zip(row, col)}
+            f_per_obj = {c: fm[r, c] for r, c in zip(row, col)}
+            for gi, goid in enumerate(gt_objs):
+                jf = j_per_obj.get(
+                    gi, db_eval_iou(gt_ids == goid,
+                                    np.zeros_like(pred_ids, bool))
+                )
+                ff = f_per_obj.get(
+                    gi, db_eval_boundary(gt_ids == goid,
+                                         np.zeros_like(pred_ids, bool))
+                )
+                jst = db_statistics(np.atleast_1d(jf))
+                fst = db_statistics(np.atleast_1d(ff))
+                j_stats.append(jst)
+                f_stats.append(fst)
+                per_sequence[f"{seq}_{goid}"] = {
+                    "J-Mean": jst[0], "F-Mean": fst[0],
+                }
+            continue
+        for oid in gt_objs:
+            jf = db_eval_iou(gt_ids == oid, pred_ids == oid)
+            ff = db_eval_boundary(gt_ids == oid, pred_ids == oid)
+            jst = db_statistics(np.atleast_1d(jf))
+            fst = db_statistics(np.atleast_1d(ff))
+            j_stats.append(jst)
+            f_stats.append(fst)
             per_sequence[f"{seq}_{oid}"] = {
-                "J-Mean": jm[0], "F-Mean": fm[0],
+                "J-Mean": jst[0], "F-Mean": fst[0],
             }
     if not j_stats:
         return {"global": {}, "per_sequence": {}}
@@ -206,11 +258,13 @@ def _load_palette_stack(d: str) -> np.ndarray:
 
 
 def eval_davis_annotators(
-    dst_dir: str, gt_dir: str, num_annotators: int = 4
+    dst_dir: str, gt_dir: str, num_annotators: int = 4,
+    task: str = "unsupervised",
 ) -> Dict[str, object]:
     """Run the official evaluation per annotator tree against the DAVIS
     palette GT (<gt_dir>/<video>/*.png) and average the global tables
-    (ref eval_davis.py run per anno_k + mean)."""
+    (ref eval_davis.py run per anno_k + mean; Ref-DAVIS uses the
+    default unsupervised task)."""
     per_annotator = []
     for k in range(num_annotators):
         adir = os.path.join(dst_dir, f"anno_{k}")
@@ -224,7 +278,9 @@ def eval_davis_annotators(
             pred = _load_palette_stack(os.path.join(adir, video))
             gt = _load_palette_stack(gdir)[: len(pred)]
             results[video] = {"gt": gt, "pred": pred}
-        per_annotator.append(evaluate_davis_official(results)["global"])
+        per_annotator.append(
+            evaluate_davis_official(results, task=task)["global"]
+        )
     return {
         "per_annotator": per_annotator,
         "mean": average_annotators(per_annotator),

@@ -268,9 +268,12 @@ def parse_videoinfer_batch_outputs(
             continue
         try:
             sample = json.loads(line)
-        except json.JSONDecodeError:
+            # failed batch requests carry response=null / an error object
+            # without body.choices — count them, don't crash
+            msg = sample["response"]["body"]["choices"][0]["message"]
+        except (json.JSONDecodeError, KeyError, TypeError, IndexError):
+            errors += 1
             continue
-        msg = sample["response"]["body"]["choices"][0]["message"]
         if "content" not in msg:
             continue
         try:

@@ -22,15 +22,44 @@ from .jf_metrics import db_eval_boundary, db_eval_iou
 def load_meta_expressions(ann_file: str) -> List[Dict]:
     """Flatten meta_expressions.json into per-expression jobs. Carries the
     optional ReVOS `type_id` (0 referring / 1 reason / 2 nan) and ReasonVOS
-    `is_sent` fields when present."""
+    `is_sent` fields when present.
+
+    Two published layouts (both handled):
+      * dict expressions — MeViS/ReVOS/Ref-YTVOS: {exp_id: {"exp",
+        "anno_id", ...}};
+      * list expressions — ReasonVOS (ref inference_reason_vos.py:129-140):
+        [{"obj_id", "exp_id", "exp_text", "is_sent"}] plus a per-video
+        "source"; outputs are written under "{source}_{vid}_{obj_id}"
+        while frames stay under the raw video name ("frames_dir").
+    """
     with open(ann_file) as f:
         videos = json.load(f)["videos"]
     jobs = []
     for vid, vd in videos.items():
-        frames = sorted(vd["frames"])
-        for exp_id, ed in vd["expressions"].items():
+        frames = sorted(vd.get("frames", []))
+        exps = vd["expressions"]
+        if isinstance(exps, list):  # ReasonVOS layout
+            src = vd.get("source")
+            for sample in exps:
+                obj_id = sample.get("obj_id", 0)
+                save = (
+                    f"{src}_{vid}_{obj_id}" if src is not None else vid
+                )
+                jobs.append({
+                    "video": save,
+                    "frames_dir": vid,
+                    "exp_id": str(sample["exp_id"]),
+                    "exp": sample["exp_text"],
+                    "anno_id": [str(obj_id)],
+                    "frames": frames,
+                    "type_id": None,
+                    "is_sent": bool(sample.get("is_sent", False)),
+                })
+            continue
+        for exp_id, ed in exps.items():
             jobs.append({
                 "video": vid,
+                "frames_dir": vid,
                 "exp_id": exp_id,
                 "exp": ed["exp"],
                 "anno_id": [str(a) for a in ed.get("anno_id", [])],
@@ -46,10 +75,14 @@ def resolve_layout(
 ) -> Tuple[str, str]:
     """(meta_expressions.json path, JPEGImages dir) for a benchmark root.
 
-    MeViS/ReVOS/ReasonVOS keep both under <root>/<split>/; the Ref-YTVOS
-    release nests expressions under <root>/meta_expressions/<split>/
-    (ref: evaluation/refytvos/inference_refytvos.py:120-122). Falls back
-    across layouts so either works for any benchmark name.
+    MeViS keeps both under <root>/<split>/; the Ref-YTVOS release nests
+    expressions under <root>/meta_expressions/<split>/ (ref:
+    evaluation/refytvos/inference_refytvos.py:120-122); the ReVOS release
+    puts `meta_expressions_<split>_.json` and `JPEGImages/` directly at
+    the root (ref: evaluation/revos/inference_revos.py:123-126), as does
+    ReasonVOS with a plain `meta_expressions.json` (ref:
+    inference_reason_vos.py:123-125). Falls back across layouts so any
+    of them works for any benchmark name.
     """
     candidates = [
         (os.path.join(data_root, split, "meta_expressions.json"),
@@ -57,9 +90,15 @@ def resolve_layout(
         (os.path.join(data_root, "meta_expressions", split,
                       "meta_expressions.json"),
          os.path.join(data_root, split, "JPEGImages")),
+        (os.path.join(data_root, f"meta_expressions_{split}_.json"),
+         os.path.join(data_root, "JPEGImages")),
+        (os.path.join(data_root, "meta_expressions.json"),
+         os.path.join(data_root, "JPEGImages")),
     ]
     if benchmark == "ytvos":
-        candidates.reverse()
+        candidates[0], candidates[1] = candidates[1], candidates[0]
+    elif benchmark in ("revos", "reasonvos"):
+        candidates = candidates[2:] + candidates[:2]
     for ann, frames in candidates:
         if os.path.exists(ann):
             return ann, frames
@@ -115,7 +154,9 @@ def run_inference(
             pending = pending[: max_jobs - done]
         if not pending:
             continue
-        frames = load_frames_from_dir(os.path.join(frames_root, video))
+        frames = load_frames_from_dir(
+            os.path.join(frames_root, vjobs[0].get("frames_dir", video))
+        )
         all_masks = segmentor.segment_video_multi(
             frames,
             [job["exp"] for job in pending],

@@ -129,6 +129,8 @@ _PEAK_BF16_FLOPS = {
     "v5litepod": 197e12,
     "v5p": 459e12,
     "v6e": 918e12,
+    "v6 lite": 918e12,  # Trillium reports device_kind "TPU v6 lite"
+    "v6": 918e12,
 }
 
 

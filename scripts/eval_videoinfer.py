@@ -151,6 +151,7 @@ def main():
             for vid, v in qa_data.items()
             for exp_id, exp in v["expressions"].items()
             for qa_id, qa in exp["QA"].items()
+            if qa.get("A")  # unanswered probes can't be scored
         }
         scores = vi.run_eval(args.out, answers)
         print(json.dumps(scores, indent=2))

@@ -156,11 +156,13 @@ def main():
         ann, _ = resolve_layout(args.data_root, args.split, "davis")
         merged = os.path.join(args.out_dir, "merged")
         postprocess_davis(args.out_dir, ann, merged)
-        gt_dir = os.path.join(args.data_root, args.split, "Annotations")
+        # the unsupervised task evaluates against Annotations_unsupervised
+        # (ref eval_davis.py default + davis.py GT layout)
+        gt_dir = os.path.join(
+            args.data_root, "Annotations_unsupervised", "480p"
+        )
         if not os.path.isdir(gt_dir):
-            gt_dir = os.path.join(
-                args.data_root, "Annotations_unsupervised", "480p"
-            )
+            gt_dir = os.path.join(args.data_root, args.split, "Annotations")
         scores = eval_davis_annotators(merged, gt_dir)
         print(json.dumps(scores, indent=2))
         with open(os.path.join(args.out_dir, "davis_scores.json"), "w") as f:

@@ -1,10 +1,18 @@
-"""Train CoTrackerLite on synthetic motion (models/stom/synth.py).
+"""Train a point tracker on synthetic motion (models/stom/synth.py).
 
 Stands in for the unavailable CoTracker3 checkpoint (ref model/STOM.py:18):
 after training, plug into STOM via
-`STOM(tracker=CoTrackerJax(model, params))`.
+`STOM(tracker=CoTrackerJax(model, params))` (lite) or
+`STOM(tracker=CoTracker3Predictor(params, model))` (cotracker3).
 
   python scripts/train_cotracker.py --steps 2000 --out cotracker_lite.npz
+  python scripts/train_cotracker.py --arch cotracker3 --steps 500 \
+      --out cotracker3_synth.npz
+
+--arch cotracker3 trains the official-architecture model
+(models/stom/cotracker3.py) with the standard CoTracker objective:
+per-iteration Huber on tracks weighted gamma^(I-1-i), BCE on the
+visibility/confidence logits (always-visible synthetic data).
 """
 from __future__ import annotations
 
@@ -18,21 +26,44 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
-def build_train_step(model, tx):
+def _bce_ones(logits):
+    import jax.numpy as jnp
+
+    # BCE with target 1, numerically stable
+    return jnp.mean(
+        jnp.maximum(logits, 0) - logits
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+def _huber(err):
+    import jax.numpy as jnp
+
+    return jnp.where(
+        jnp.abs(err) < 4.0, 0.5 * err**2, 4.0 * (jnp.abs(err) - 2.0)
+    )
+
+
+def build_train_step(model, tx, arch: str = "lite", gamma: float = 0.8):
     import jax
     import jax.numpy as jnp
 
     def loss_fn(params, frames, queries, gt):
+        if arch == "cotracker3":
+            # model expects [0, 255] input; supervise every refinement
+            # iteration, later iterations weighted higher (CoTracker
+            # training objective)
+            out = model.apply(params, frames * 255.0, queries)
+            tracks = out["tracks"]  # (I, T, N, 2)
+            iters = tracks.shape[0]
+            w = gamma ** jnp.arange(iters - 1, -1, -1, dtype=jnp.float32)
+            per_iter = _huber(tracks - gt[None]).mean(axis=(1, 2, 3))
+            pos_loss = jnp.sum(w * per_iter) / jnp.sum(w)
+            vis_loss = _bce_ones(out["vis"]) + _bce_ones(out["conf"])
+            return pos_loss + 0.1 * vis_loss, per_iter[-1]
         tracks, vis = model.apply(params, frames, queries)
-        err = tracks - gt
-        # Huber on positions; visibility is always-on in synthetic data
-        huber = jnp.where(
-            jnp.abs(err) < 4.0, 0.5 * err**2, 4.0 * (jnp.abs(err) - 2.0)
-        )
-        pos_loss = huber.mean()
-        vis_loss = jnp.mean(
-            jnp.maximum(vis, 0) - vis + jnp.log1p(jnp.exp(-jnp.abs(vis)))
-        )  # BCE with target 1
+        pos_loss = _huber(tracks - gt).mean()
+        vis_loss = _bce_ones(vis)
         return pos_loss + 0.1 * vis_loss, pos_loss
 
     @jax.jit
@@ -58,6 +89,7 @@ def main():
     p.add_argument("--points", type=int, default=16)
     p.add_argument("--out", default="cotracker_lite.npz")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--arch", choices=["lite", "cotracker3"], default="lite")
     args = p.parse_args()
 
     import jax
@@ -68,10 +100,30 @@ def main():
     from rga3_tpu.models.stom.cotracker import CoTrackerLite
     from rga3_tpu.models.stom.synth import make_synthetic_batch
 
-    model = (
-        CoTrackerLite(dim=64, heads=4, depth=1, num_scales=2, iterations=2)
-        if args.tiny else CoTrackerLite()
-    )
+    if args.arch == "cotracker3":
+        from rga3_tpu.models.stom.cotracker3 import (
+            CoTracker3Offline, cotracker3_offline_config,
+            tiny_cotracker3_config,
+        )
+
+        cfg = (
+            tiny_cotracker3_config() if args.tiny
+            else cotracker3_offline_config()
+        )
+        import dataclasses
+
+        # track at the synthetic clip's own resolution (no resize blur)
+        cfg = dataclasses.replace(
+            cfg, model_resolution=(args.size, args.size)
+        )
+        model = CoTracker3Offline(cfg)
+    else:
+        model = (
+            CoTrackerLite(
+                dim=64, heads=4, depth=1, num_scales=2, iterations=2
+            )
+            if args.tiny else CoTrackerLite()
+        )
     rng = np.random.default_rng(0)
     frames, queries, gt = make_synthetic_batch(
         rng, t=args.frames, h=args.size, w=args.size, n_points=args.points
@@ -86,7 +138,7 @@ def main():
         weight_decay=1e-5,
     )
     opt_state = tx.init(params)
-    step = build_train_step(model, tx)
+    step = build_train_step(model, tx, arch=args.arch)
 
     t0 = time.time()
     for i in range(args.steps):
@@ -105,6 +157,35 @@ def main():
                 f"({(time.time()-t0):.0f}s)",
                 flush=True,
             )
+
+    # held-out tracking error (fresh motions, fresh textures) vs the
+    # stay-put baseline
+    eval_rng = np.random.default_rng(12345)
+    errs, base = [], []
+    for _ in range(8):
+        frames, queries, gt = make_synthetic_batch(
+            eval_rng, t=args.frames, h=args.size, w=args.size,
+            n_points=args.points,
+        )
+        if args.arch == "cotracker3":
+            out = model.apply(
+                params, jnp.asarray(frames) * 255.0, jnp.asarray(queries)
+            )
+            tracks = np.asarray(out["tracks"][-1])
+        else:
+            tracks = np.asarray(
+                model.apply(
+                    params, jnp.asarray(frames), jnp.asarray(queries)
+                )[0]
+            )
+        errs.append(np.linalg.norm(tracks - gt, axis=-1).mean())
+        base.append(
+            np.linalg.norm(gt - gt[0][None], axis=-1).mean()
+        )
+    print(
+        f"held-out error {np.mean(errs):.2f} px "
+        f"(stay-put baseline {np.mean(base):.2f} px)"
+    )
 
     from rga3_tpu.models.stom.cotracker import save_params
 

@@ -141,3 +141,21 @@ def test_videoinfer_batch_roundtrip(tmp_path):
     assert agg["accuracy"] == 0.5
     assert agg["average_score"] == 3.0
     assert agg["per_sample"]["vid1____exp0____qa0"]["score"] == 5
+
+
+def test_batch_outputs_tolerate_failed_requests():
+    lines = [
+        json.dumps({"custom_id": "a", "response": None}),
+        json.dumps({"custom_id": "b", "response": {"error": "rate"}}),
+        json.dumps({
+            "custom_id": "c",
+            "response": {"body": {"choices": [
+                {"message": {"content": "{'pred': 'yes', 'score': 4}"}}
+            ]}},
+        }),
+    ]
+    from rga3_tpu.evaluation.gpt_judge import parse_videoinfer_batch_outputs
+
+    agg = parse_videoinfer_batch_outputs(lines)
+    assert agg["error_count"] == 2
+    assert agg["yes_count"] == 1 and agg["average_score"] == 4.0

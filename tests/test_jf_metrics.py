@@ -166,3 +166,29 @@ def test_davis_postprocess_and_annotator_eval(tmp_path):
     assert len(scores["per_annotator"]) == 4
     np.testing.assert_allclose(scores["mean"]["J&F-Mean"], 1.0)
     np.testing.assert_allclose(scores["mean"]["J-Recall"], 1.0)
+
+
+def test_davis_unsupervised_hungarian_matching():
+    """Ref-DAVIS runs the evaluator's default unsupervised task: proposal
+    ids need not match GT ids (Hungarian assignment by mean J&F), and all
+    frames are scored."""
+    from rga3_tpu.evaluation.davis_eval import evaluate_davis_official
+
+    t, h, w = 4, 16, 16
+    gt = np.zeros((t, h, w), np.uint8)
+    gt[:, 2:8, 2:8] = 1
+    gt[:, 9:15, 9:15] = 2
+    pred_swapped = np.zeros_like(gt)
+    pred_swapped[gt == 1] = 2   # ids permuted vs GT
+    pred_swapped[gt == 2] = 1
+    out = evaluate_davis_official({"s": {"gt": gt, "pred": pred_swapped}})
+    np.testing.assert_allclose(out["global"]["J-Mean"], 1.0)
+    # identity matching (semi-supervised) would score ~0 here
+    out_semi = evaluate_davis_official(
+        {"s": {"gt": gt, "pred": pred_swapped}}, task="semi-supervised"
+    )
+    assert out_semi["global"]["J-Mean"] < 0.2
+    # fewer proposals than GT objects: unmatched object scores vs empty
+    pred_one = np.where(gt == 1, 3, 0).astype(np.uint8)
+    out_one = evaluate_davis_official({"s": {"gt": gt, "pred": pred_one}})
+    assert 0.3 < out_one["global"]["J-Mean"] < 0.7

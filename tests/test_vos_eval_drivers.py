@@ -235,3 +235,43 @@ def test_ytvos_submission_inference(ytvos_fixture, tmp_path):
     seg2 = _FakeSegmentor()
     assert run_inference(seg2, root, split, out, benchmark="ytvos") == 0
     assert seg2.questions == []
+
+
+def test_reasonvos_list_expressions_layout(tmp_path):
+    """ReasonVOS stores expressions as a LIST with exp_text/is_sent and a
+    per-video source; jobs write under source_vid_obj while frames load
+    from the raw video dir (ref inference_reason_vos.py:129-140)."""
+    import json
+
+    from rga3_tpu.evaluation.video_seg_eval import load_meta_expressions
+
+    ann = tmp_path / "meta_expressions.json"
+    ann.write_text(json.dumps({"videos": {"vidA": {
+        "source": "davis",
+        "frames": ["00001", "00000"],
+        "expressions": [
+            {"obj_id": 2, "exp_id": 0, "exp_text": "the tool being used",
+             "is_sent": True},
+            {"obj_id": 2, "exp_id": 1, "exp_text": "a red thing",
+             "is_sent": False},
+        ],
+    }}}))
+    jobs = load_meta_expressions(str(ann))
+    assert len(jobs) == 2
+    assert jobs[0]["video"] == "davis_vidA_2"
+    assert jobs[0]["frames_dir"] == "vidA"
+    assert jobs[0]["exp"] == "the tool being used"
+    assert jobs[0]["is_sent"] is True and jobs[1]["is_sent"] is False
+    assert jobs[0]["frames"] == ["00000", "00001"]
+
+
+def test_resolve_layout_revos_root(tmp_path):
+    import os
+
+    from rga3_tpu.evaluation.video_seg_eval import resolve_layout
+
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "meta_expressions_valid_.json").write_text("{}")
+    ann, frames = resolve_layout(str(tmp_path), "valid", "revos")
+    assert ann.endswith("meta_expressions_valid_.json")
+    assert frames == os.path.join(str(tmp_path), "JPEGImages")
