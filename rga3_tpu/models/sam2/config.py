@@ -47,8 +47,10 @@ class HieraConfig(ConfigBase):
     # fill (shrinks with block). A/B-tuned on v5e.
     fused_block_q_small: int = 512
     # block_q for fused blocks with window >= 256 tokens (stage 3). 0 =
-    # one window per block (mask-free). 512 pairs two windows per block
-    # (bigger matmuls, 50%-masked attention) — A/B'd on v5e.
+    # one window per block (mask-free). NOTE: at Hiera-L stage 3 (D=576)
+    # the kernel's scoped-VMEM guard clamps any block > 256 back down, so
+    # values above 256 are effectively identical to 256 on v5e
+    # (ops/fused_block.py VMEM sizing).
     fused_block_q_large: int = 0
     # split fusion (prologue/attention/epilogue kernels with an F-blocked
     # MLP) for windowed blocks wider than fused_block_max_dim (stage 4,
@@ -128,7 +130,6 @@ class Sam2Config(ConfigBase):
     twoway_mlp_dim: int = 2048
     twoway_heads: int = 8
     # losses / misc
-    no_obj_score: float = -1024.0  # NO_OBJ_SCORE fill value
 
     @property
     def feat_size(self) -> int:

@@ -83,7 +83,6 @@ class MultiScaleBlock(nn.Module):
             )
 
         # window partition
-        ws = self.window_size
         h, w = x.shape[1:3]
         b = x.shape[0]
 
@@ -271,9 +270,13 @@ class Hiera(nn.Module):
             nn.initializers.zeros,
             (1, ws0, ws0, cfg.embed_dim),
         )
-        pos = jax.image.resize(
-            pos_bkg.astype(jnp.float32), (1, h, w, cfg.embed_dim), "bicubic"
-        )
+        # torch-parity bicubic (a=-0.75): jax.image.resize's Keys kernel
+        # (a=-0.5) would bias every token vs the reference checkpoint
+        from ...ops.resize import resize_bicubic_torch
+
+        pos = resize_bicubic_torch(
+            pos_bkg.astype(jnp.float32).transpose(0, 3, 1, 2), (h, w)
+        ).transpose(0, 2, 3, 1)
         tiles = (1, h // ws0, w // ws0, 1)
         pos = pos + jnp.tile(pos_win.astype(jnp.float32), tiles)
         x = x + pos.astype(x.dtype)

@@ -3,10 +3,10 @@ params pytree (ref loader with `.gamma -> .g_weight` remap:
 model/sam2.py:30-85; our tree already uses g_weight).
 
 Layout conversions:
-  * Conv2d OIHW -> HWIO; ConvTranspose2d IOHW -> HWIO (flipped? no — flax
-    ConvTranspose kernel is HWIO with fflip semantics matching
-    jax.lax.conv_transpose; torch ConvTranspose2d weight (in, out, h, w)
-    maps to HWIO directly).
+  * Conv2d OIHW -> HWIO; ConvTranspose2d (in, out, h, w) -> HWIO with
+    BOTH spatial dims flipped (torch's transposed conv correlates with
+    the unflipped kernel while flax ConvTranspose flips it — see _convT,
+    verified numerically).
   * Linear (out, in) -> (in, out).
   * Embedding kept (n, dim).
 Host-side only (numpy); torch is used purely to deserialize the pickle.

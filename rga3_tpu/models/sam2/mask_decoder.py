@@ -163,7 +163,6 @@ class MaskDecoder(nn.Module):
             ],
             axis=1,
         )  # (B, M, C/8)
-        uh, uw = up.shape[1:3]
         masks = jnp.einsum(
             "bmc,bhwc->bmhw", hyper, up, preferred_element_type=jnp.float32
         )

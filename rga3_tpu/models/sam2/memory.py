@@ -43,12 +43,14 @@ class RoPEAttention(nn.Module):
         num_k_exclude_rope: int = 0,
         k_valid: Optional[jnp.ndarray] = None,  # (B, Lk) bool
     ) -> jnp.ndarray:
-        # Contract: every batch row must have >= 1 valid key. The flash
-        # path returns zeros for a row whose keys are ALL invalid while
-        # the dense fallback's -1e30 masking degenerates to mean(V), so
-        # the two branches would disagree there. Callers satisfy this by
-        # construction: track_video always keeps the cond-frame memory
-        # slot valid (models/sam2/video.py ring-buffer seeding).
+        # Contract: every batch row must have >= 1 valid key. With ALL
+        # keys invalid the two branches disagree: the dense fallback's
+        # -1e30 masking degenerates to mean(V) over the real keys, while
+        # the flash path's finite mask value makes every p=exp(0)=1 and
+        # returns mean(V) over real AND padded keys. Callers satisfy the
+        # contract by construction: track_video always keeps the
+        # cond-frame memory slot valid (models/sam2/video.py ring-buffer
+        # seeding).
         cfg = self.cfg
         d = cfg.d_model
         q = nn.Dense(d, name="q_proj")(q)

@@ -32,7 +32,6 @@ from .memory import MemoryAttention, MemoryEncoder
 from .neck import ImageEncoder
 from .prompt_encoder import PromptEncoder
 
-NO_OBJ_SCORE = -1024.0
 
 
 class Sam2Model(nn.Module):

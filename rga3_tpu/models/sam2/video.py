@@ -27,6 +27,24 @@ from .config import Sam2Config
 from .model import Sam2Model
 
 
+@functools.lru_cache(maxsize=8)
+def _decode_chunk_fn(model: Sam2Model):
+    """Jitted chunk decode, cached per model config (linen modules hash by
+    their config): a fresh closure per video would retrace + recompile
+    the full SAM2 forward for every video on the eval hot path."""
+
+    # params as an argument (closure constants would be re-serialized into
+    # the compiled graph — catastrophic for big checkpoints)
+    @jax.jit
+    def run(params, fr, le):
+        out = model.apply(
+            params, fr, le, method=Sam2Model.decode_frames_with_language
+        )
+        return out["high_res_masks"]
+
+    return run
+
+
 def segment_video_with_language(
     model: Sam2Model,
     params,
@@ -41,14 +59,7 @@ def segment_video_with_language(
             language_embd[None], (t, *language_embd.shape)
         )
 
-    # params as an argument (closure constants would be re-serialized into
-    # the compiled graph — catastrophic for big checkpoints)
-    @jax.jit
-    def run(params, fr, le):
-        out = model.apply(
-            params, fr, le, method=Sam2Model.decode_frames_with_language
-        )
-        return out["high_res_masks"]
+    run = _decode_chunk_fn(model)
 
     outs = []
     for start in range(0, t, chunk):

@@ -142,6 +142,10 @@ def _flash_kernel(
     @pl.when(ki == pl.num_programs(3) - 1)
     def _finalize():
         l = l_scratch[:]
+        # guards only the zero-keys-visited edge (causal block skipping);
+        # a row whose keys are all MASKED still has l>0 (p=exp(0)=1 per
+        # key) and yields mean(V) — see RoPEAttention's >=1-valid-key
+        # contract in models/sam2/memory.py
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scratch[:] / l).astype(o_ref.dtype)
 
@@ -514,6 +518,16 @@ def flash_attention(
 
     b, lq, h, d = q.shape
     _, lk, hkv, _ = k.shape
+    if causal and lq != lk:
+        # The TPU kernels (ours and the bundled backward) align the causal
+        # mask top-left (q row 0 sees only k 0) while mha_reference aligns
+        # bottom-right (tril k=lk-lq) — with lq != lk they'd silently
+        # disagree across backends. No current caller needs it; refuse.
+        raise NotImplementedError(
+            "flash_attention(causal=True) requires lq == lk "
+            f"(got lq={lq}, lk={lk}); use mha_reference for "
+            "bottom-right-aligned cached/cross attention"
+        )
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     # Odd head dims (e.g. Hiera's 72) are NOT padded in HBM: Mosaic accepts

@@ -207,11 +207,9 @@ def _reference_block(
     b, l, d = x.shape
 
     def ln(v, g, bb):
-        v32 = v.astype(jnp.float32)
-        mu = v32.mean(-1, keepdims=True)
-        var = ((v32 - mu) ** 2).mean(-1, keepdims=True)
-        out = (v32 - mu) / jnp.sqrt(var + eps) * g + bb
-        return out.astype(v.dtype)
+        # one LN definition for kernel forward AND these vjp-backward
+        # reference bodies (_layernorm) — keeps fwd/bwd numerics in sync
+        return _layernorm(v.astype(jnp.float32), g, bb, eps).astype(v.dtype)
 
     ln1 = ln(x, p["ln1_g"], p["ln1_b"])
     qkv = (
@@ -388,10 +386,9 @@ def _reference_global_block(x, p, *, num_heads, eps, scale,
     b, l, d = x.shape
 
     def ln(v, g, bb):
-        v32 = v.astype(jnp.float32)
-        mu = v32.mean(-1, keepdims=True)
-        var = ((v32 - mu) ** 2).mean(-1, keepdims=True)
-        return ((v32 - mu) / jnp.sqrt(var + eps) * g + bb).astype(v.dtype)
+        # one LN definition for kernel forward AND these vjp-backward
+        # reference bodies (_layernorm) — keeps fwd/bwd numerics in sync
+        return _layernorm(v.astype(jnp.float32), g, bb, eps).astype(v.dtype)
 
     ln1 = ln(x, p["ln1_g"], p["ln1_b"])
     qkv = ((ln1 @ p["wqkv"]).astype(jnp.float32) + p["bqkv"]).astype(x.dtype)

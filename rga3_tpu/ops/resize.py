@@ -35,6 +35,52 @@ def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return jax.image.resize(x, out_shape, method="nearest")
 
 
+def _cubic_conv_weights(n_in: int, n_out: int, a: float = -0.75):
+    """Dense (n_out, n_in) cubic-convolution interpolation matrix with
+    torch's kernel (a=-0.75, half-pixel centers, border replication).
+
+    jax.image.resize('bicubic') uses the Keys kernel a=-0.5, so the SAM2
+    pos-embed interpolation would deviate from the checkpoint's
+    F.interpolate behavior without this."""
+    import numpy as np
+
+    scale = n_in / n_out
+    dst = np.arange(n_out)
+    src = (dst + 0.5) * scale - 0.5
+    f = np.floor(src)
+    w = np.zeros((n_out, n_in), np.float32)
+
+    def kernel(t):
+        at = np.abs(t)
+        return np.where(
+            at <= 1,
+            (a + 2) * at**3 - (a + 3) * at**2 + 1,
+            np.where(
+                at < 2, a * at**3 - 5 * a * at**2 + 8 * a * at - 4 * a, 0.0
+            ),
+        )
+
+    for m in (-1, 0, 1, 2):
+        idx = np.clip(f + m, 0, n_in - 1).astype(int)
+        np.add.at(w, (dst, idx), kernel(src - (f + m)).astype(np.float32))
+    return w
+
+
+def resize_bicubic_torch(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bicubic resize of the trailing two spatial dims matching torch
+    `F.interpolate(mode='bicubic', align_corners=False)` exactly
+    (separable dense contraction; shapes are static so the weight
+    matrices fold into the compiled graph).
+
+    x: (..., H, W) -> (..., size[0], size[1])."""
+    h, w = x.shape[-2], x.shape[-1]
+    wh = jnp.asarray(_cubic_conv_weights(h, size[0]))
+    ww = jnp.asarray(_cubic_conv_weights(w, size[1]))
+    y = jnp.einsum("oh,...hw->...ow", wh, x.astype(jnp.float32))
+    y = jnp.einsum("pw,...ow->...op", ww, y)
+    return y.astype(x.dtype)
+
+
 def sam_normalize(x: jnp.ndarray) -> jnp.ndarray:
     """ImageNet-stat normalization of (..., 3, H, W) uint8/float pixels
     (ref: utils/utils.py:232-246 `preprocess`)."""

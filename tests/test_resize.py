@@ -36,3 +36,24 @@ def test_sam_preprocess_pads_and_normalizes():
     assert out.shape == (3, 1024, 1024)
     assert abs(out[0, 0, 0]) < 1e-5  # mean-normalized channel 0
     assert abs(out[0, 1023, 0]) < 1e-7  # padded region is zero post-normalize
+
+
+def test_bicubic_matches_torch():
+    """resize_bicubic_torch must reproduce F.interpolate(mode='bicubic',
+    align_corners=False) — the SAM2 pos-embed path (a=-0.75 kernel,
+    which jax.image.resize does not implement)."""
+    import torch
+    import torch.nn.functional as F
+
+    from rga3_tpu.ops.resize import resize_bicubic_torch
+
+    rng = np.random.default_rng(0)
+    for (h, w), (oh, ow) in [((7, 7), (64, 64)), ((16, 12), (9, 30)),
+                             ((5, 9), (5, 9))]:
+        x = rng.normal(size=(2, 3, h, w)).astype(np.float32)
+        ours = np.asarray(resize_bicubic_torch(jnp.asarray(x), (oh, ow)))
+        theirs = F.interpolate(
+            torch.from_numpy(x), size=(oh, ow), mode="bicubic",
+            align_corners=False,
+        ).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
