@@ -165,10 +165,13 @@ def _decode_fn(model, compute_dtype, max_new_tokens, eos_token_id,
             return (out["cache"], nxt, done, rng), emitted
 
         done0 = jnp.zeros((b,), bool)
+        # step i feeds the i-th generated token, whose sequence index is
+        # prompt_len + i, so its M-RoPE position is next_pos + i (next_pos
+        # is already last_prompt_pos + 1 = prompt_len + rope_delta).
         (_, _, _, _), toks = jax.lax.scan(
             step,
             (cache, first_tok, done0, rng),
-            jnp.arange(1, max_new_tokens + 1),
+            jnp.arange(max_new_tokens),
         )
         return jnp.moveaxis(toks, 0, 1)  # (B, max_new_tokens)
 

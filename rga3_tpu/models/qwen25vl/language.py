@@ -185,6 +185,21 @@ class Attention(nn.Module):
                 cv, v.astype(cv.dtype), (0, cache_idx, 0, 0)
             )
             new_cache = (ck, cv)
+            if l > 1:
+                # Prefill into a fresh cache (every caller prefills at
+                # idx 0 — generate.py:87, bench_decode.py:93): the filled
+                # prefix IS the appended block, so attention reduces to
+                # causal flash over (q, k, v) — no (B, H, L, max_len)
+                # fp32 logits materialization.
+                out = flash_attention(
+                    q, k, v, causal=True, segment_ids=segment_ids
+                )
+                out = out.reshape(b, l, h * hd)
+                return (
+                    dense("o_proj", cfg.hidden_size, False,
+                          ("heads", "embed"))(out),
+                    new_cache,
+                )
             max_len = ck.shape[1]
             kf = jnp.repeat(ck, h // hkv, axis=2)
             vf = jnp.repeat(cv, h // hkv, axis=2)

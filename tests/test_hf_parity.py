@@ -168,3 +168,133 @@ def test_video_rope_index_matches_hf(hf_and_ours):
     np.testing.assert_array_equal(
         delta_hf.numpy().reshape(-1), delta
     )
+
+
+def test_greedy_generate_matches_hf(hf_and_ours):
+    """Token-exact greedy decode vs HF .generate — locks the decode-step
+    M-RoPE positions (first generated token sits at last_prompt_pos + 1;
+    a +1 shift here reproduces a real off-by-one regression)."""
+    from rga3_tpu.models.qwen25vl.generate import greedy_generate
+
+    hf, hf_cfg, model, ours_cfg, params = hf_and_ours
+    rng = np.random.default_rng(7)
+    n_new = 6
+    ids = rng.integers(0, 1000, size=(1, 9)).astype(np.int64)
+    with torch.no_grad():
+        hf_out = hf.generate(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.ones(1, 9, dtype=torch.long),
+            max_new_tokens=n_new,
+            do_sample=False,
+            eos_token_id=VOCAB - 1,
+            pad_token_id=0,
+        ).numpy()[:, ids.shape[1]:]
+    pos, deltas = get_rope_index(ours_cfg, ids)
+    toks = greedy_generate(
+        model, params, jnp.asarray(ids, jnp.int32),
+        jnp.ones((1, 9), jnp.int32), jnp.asarray(pos),
+        jnp.asarray(deltas), max_new_tokens=n_new,
+        eos_token_id=VOCAB - 1, pad_token_id=0,
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), hf_out)
+
+
+def test_decode_step_logits_match_hf_positions(hf_and_ours):
+    """Decode-step logits parity at an explicitly known position: prefill
+    L-1 tokens into the cache, feed token L-1 at M-RoPE position
+    next_pos + 0, and require the logits to match HF's full-sequence
+    forward at row L-1. A +1 position shift (the regression the
+    token-exact test above can miss on a position-insensitive tiny
+    model) fails this at fp32 tolerance."""
+    hf, hf_cfg, model, ours_cfg, params = hf_and_ours
+    from rga3_tpu.models.qwen25vl.language import make_kv_cache
+
+    rng = np.random.default_rng(9)
+    L = 10
+    ids = rng.integers(0, 1000, size=(1, L)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.ones(1, L, dtype=torch.long),
+        ).logits.numpy()[:, -1]
+
+    pos, deltas = get_rope_index(ours_cfg, ids[:, : L - 1])
+    cache = make_kv_cache(ours_cfg.text, 1, L + 4, dtype=jnp.float32)
+    out = model.apply(
+        params,
+        input_ids=jnp.asarray(ids[:, : L - 1], jnp.int32),
+        position_ids=jnp.asarray(pos),
+        segment_ids=jnp.ones((1, L - 1), jnp.int32),
+        cache=cache,
+        compute_dtype=jnp.float32,
+    )
+    # the decode-step position for sequence index L-1 (0-based) is
+    # prompt_len + rope_delta + 0 — the same arithmetic generate.py uses
+    next_pos = (L - 1) + int(np.asarray(deltas)[0])
+    step_pos = jnp.full((3, 1, 1), next_pos, jnp.int32)
+    out2 = model.apply(
+        params,
+        input_ids=jnp.asarray(ids[:, L - 1 :], jnp.int32),
+        position_ids=step_pos,
+        cache=out["cache"],
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2["logits"][:, -1]), ref, rtol=2e-3, atol=2e-3
+    )
+    # and a +1-shifted position must NOT pass the same tolerance
+    # (position sensitivity — guards against this test passing vacuously
+    # on a position-insensitive model)
+    out3 = model.apply(
+        params,
+        input_ids=jnp.asarray(ids[:, L - 1 :], jnp.int32),
+        position_ids=step_pos + 1,
+        cache=out["cache"],
+        compute_dtype=jnp.float32,
+    )
+    with pytest.raises(AssertionError):
+        np.testing.assert_allclose(
+            np.asarray(out3["logits"][:, -1]), ref, rtol=2e-3, atol=2e-3
+        )
+
+
+def test_greedy_generate_vision_matches_hf(hf_and_ours):
+    """Greedy decode parity with a vision span — nonzero rope_delta, so
+    decode positions exercise the next_pos = len + delta arithmetic."""
+    from rga3_tpu.models.qwen25vl.generate import greedy_generate
+
+    hf, hf_cfg, model, ours_cfg, params = hf_and_ours
+    rng = np.random.default_rng(8)
+    n_new = 5
+    grid = (1, 4, 6)
+    n_vis = 24 // 4
+    patches = rng.normal(size=(24, 3 * 2 * 14 * 14)).astype(np.float32)
+    ids = rng.integers(0, 1000, size=(1, 8 + n_vis)).astype(np.int64)
+    ids[0, 2] = hf_cfg.vision_start_token_id
+    ids[0, 3 : 3 + n_vis] = hf_cfg.image_token_id
+    ids[0, 3 + n_vis] = hf_cfg.vision_end_token_id
+    with torch.no_grad():
+        hf_out = hf.generate(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.ones_like(torch.tensor(ids)),
+            pixel_values=torch.tensor(patches),
+            image_grid_thw=torch.tensor([list(grid)]),
+            max_new_tokens=n_new,
+            do_sample=False,
+            eos_token_id=VOCAB - 1,
+            pad_token_id=0,
+        ).numpy()[:, ids.shape[1]:]
+    layout = compute_vision_layout([grid], ours_cfg.vision)
+    la = layout_device_args(layout, ours_cfg.vision)
+    pos, deltas = get_rope_index(ours_cfg, ids, image_grid_thw=[grid])
+    toks = greedy_generate(
+        model, params, jnp.asarray(ids, jnp.int32),
+        jnp.ones_like(jnp.asarray(ids, jnp.int32)), jnp.asarray(pos),
+        jnp.asarray(deltas), max_new_tokens=n_new,
+        eos_token_id=VOCAB - 1, pad_token_id=0,
+        pixel_patches=jnp.asarray(patches),
+        vision_layout=la,
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), hf_out)
