@@ -62,6 +62,13 @@ class SegHeadConfig(ConfigBase):
     bce_loss_weight: float = 2.0
     dice_scale: float = 1000.0
     train_mask_decoder: bool = True
+    # The reference always freezes the SAM2 image encoder (trunk + neck;
+    # ref qwen_2_5_vl_sam2.py:120-126). When True, train_forward cuts the
+    # gradient at that boundary so XLA never builds the trunk backward
+    # pass (~2x the 1024² Hiera-L forward FLOPs, all discarded by the
+    # optimizer mask). Set False ONLY if the trunk is added to the
+    # optimizer's trainable patterns.
+    freeze_sam_backbone: bool = True
     # resolved at tokenizer build time; -1 = unset
     seg_token_id: int = -1
 

@@ -96,10 +96,21 @@ class Sam2Model(nn.Module):
     # ------------------------------------------------------------------
     # image encoding
     # ------------------------------------------------------------------
-    def forward_image(self, images: jnp.ndarray) -> Dict[str, List[jnp.ndarray]]:
+    def forward_image(
+        self, images: jnp.ndarray, stop_backbone_grad: bool = False
+    ) -> Dict[str, List[jnp.ndarray]]:
         """images (B, H, W, 3) normalized. Returns fpn features with
-        high-res levels pre-projected for the decoder skip connections."""
+        high-res levels pre-projected for the decoder skip connections.
+
+        stop_backbone_grad cuts the gradient at the trunk+neck boundary:
+        the reference always freezes the SAM2 image encoder during training
+        (ref qwen_2_5_vl_sam2.py:120-126), so its backward pass (~2x the
+        trunk forward FLOPs at 1024²) is pure waste. conv_s0/conv_s1 sit
+        BELOW the cut — they belong to sam_mask_decoder, which the
+        reference trains (ref train_joint.py:237-251)."""
         out = self.image_encoder(images)
+        if stop_backbone_grad:
+            out = jax.lax.stop_gradient(out)
         fpn = list(out["backbone_fpn"])
         fpn[0] = self.sam_mask_decoder.conv_s0(fpn[0])
         fpn[1] = self.sam_mask_decoder.conv_s1(fpn[1])
@@ -186,13 +197,16 @@ class Sam2Model(nn.Module):
         language_embd: jnp.ndarray,  # (T, N, C) — usually N=1
         multimask_output: bool = True,
         training: bool = False,
+        stop_backbone_grad: bool = False,
     ):
         """Batched no-memory language decoding of all frames at once — the
         TPU-native equivalent of get_sam2_embeddings(_train) +
         inject_language_embd_train / language_embd_inference
         (ref sam2.py:343-404). Every frame is an init-cond frame, so
         pix_feat = stride-16 feature + no_mem_embed."""
-        feats = self.forward_image(images)
+        feats = self.forward_image(
+            images, stop_backbone_grad=stop_backbone_grad
+        )
         s0, s1, s2 = feats["backbone_fpn"]
         return self.decode_features_with_language(
             s0, s1, s2, language_embd,

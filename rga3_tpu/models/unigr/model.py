@@ -132,7 +132,8 @@ class UniGR(nn.Module):
 
         frames = images_sam.reshape(b * t, *images_sam.shape[2:])
         sam_out = self.grounding_encoder.decode_frames_with_language(
-            frames, lang, multimask_output=True, training=True
+            frames, lang, multimask_output=True, training=True,
+            stop_backbone_grad=cfg.freeze_sam_backbone,
         )
         high_res = sam_out["high_res_masks"][:, 0]  # (B*T, H, W)
         size = gt_masks.shape[-2:]

@@ -28,6 +28,11 @@ def main():
     p.add_argument("--sam-frames", type=int, default=2)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--steps", type=int, default=3)
+    p.add_argument(
+        "--no-freeze-backbone", action="store_true",
+        help="A/B: backprop through the frozen SAM trunk (the pre-"
+        "stop_gradient behavior)",
+    )
     args = p.parse_args()
 
     import jax
@@ -59,6 +64,7 @@ def main():
         seg=SegHeadConfig(
             out_dim=out_dim, seg_token_id=SEG,
             ce_loss_weight=1.0, bce_loss_weight=2.0, dice_loss_weight=0.5,
+            freeze_sam_backbone=not args.no_freeze_backbone,
         ),
     )
     model = UniGR(cfg, remat=True)

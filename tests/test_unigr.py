@@ -124,3 +124,64 @@ def test_evaluate_step(unigr):
     )
     assert out["high_res_masks"].shape == (T, 1, 64, 64)
     assert bool(out["has_seg"][0])
+
+
+@pytest.mark.slow
+def test_frozen_backbone_stop_gradient(unigr):
+    """freeze_sam_backbone must (a) zero the image-encoder gradient (the
+    backward pass XLA then never builds at scale), (b) leave every
+    trainable-pattern gradient bit-identical — the cut sits strictly above
+    conv_s0/s1 + mask decoder + the language path."""
+    from rga3_tpu.train.optimizer import trainable_mask
+
+    cfg, model, params, ids = unigr
+    rng = np.random.default_rng(5)
+    B, L, T = 2, 10, 2
+    labels = ids.copy()
+    pos = np.broadcast_to(np.arange(L)[None, None], (3, B, L)).copy()
+    images_sam = jnp.asarray(
+        rng.normal(size=(B, T, 64, 64, 3)).astype(np.float32)
+    )
+    gt = jnp.asarray((rng.random((B, T, 32, 32)) > 0.5).astype(np.float32))
+
+    def grads_with(freeze):
+        m = UniGR(
+            UniGRConfig(
+                qwen=cfg.qwen, sam2=cfg.sam2,
+                seg=cfg.seg.replace(freeze_sam_backbone=freeze),
+            )
+        )
+
+        def loss_fn(p):
+            return m.apply(
+                p, jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(pos),
+                None, images_sam, gt, jnp.ones((B,)),
+                compute_dtype=jnp.float32, method=UniGR.train_forward,
+            )["loss"]
+
+        return jax.grad(loss_fn)(params)
+
+    g_frozen = grads_with(True)
+    g_full = grads_with(False)
+
+    trunk_f = g_frozen["params"]["grounding_encoder"]["image_encoder"]
+    trunk_g = g_full["params"]["grounding_encoder"]["image_encoder"]
+    max_f = max(
+        float(jnp.abs(x).max()) for x in jax.tree.leaves(trunk_f)
+    )
+    max_g = max(
+        float(jnp.abs(x).max()) for x in jax.tree.leaves(trunk_g)
+    )
+    assert max_f == 0.0  # cut holds
+    assert max_g > 0.0  # and is not vacuous
+
+    mask = trainable_mask(g_frozen)
+    flat_f = jax.tree.leaves(g_frozen)
+    flat_g = jax.tree.leaves(g_full)
+    flat_m = jax.tree.leaves(mask)
+    checked = 0
+    for mf, a, b in zip(flat_m, flat_f, flat_g):
+        if mf:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            checked += 1
+    assert checked > 10
