@@ -157,21 +157,24 @@ class Sam2Model(nn.Module):
         # (the reference's UniGR variant disables the NO_OBJ_SCORE mask fill
         #  on low_res_multimasks — ref sam2.py:3380-3387 commented out)
         low_res_multimasks = low_res_multimasks.astype(jnp.float32)
-        high_res_multimasks = resize_bilinear(
-            low_res_multimasks, (cfg.image_size, cfg.image_size)
-        )
 
+        # Select best-IoU mask at LOW res, then upscale only the winner:
+        # bilinear resize is per-channel independent, so select-then-resize
+        # is numerically identical to the reference's resize-then-select
+        # (ref sam2.py:3389-3407) at 1/3 the 1024² interpolation + HBM
+        # traffic.
         sam_output_token = sam_tokens_out[:, 0]
         if multimask_output:
             best = jnp.argmax(ious, axis=-1)
             bidx = jnp.arange(b)
             low_res_masks = low_res_multimasks[bidx, best][:, None]
-            high_res_masks = high_res_multimasks[bidx, best][:, None]
             if sam_tokens_out.shape[1] > 1:
                 sam_output_token = sam_tokens_out[bidx, best]
         else:
             low_res_masks = low_res_multimasks
-            high_res_masks = high_res_multimasks
+        high_res_masks = resize_bilinear(
+            low_res_masks, (cfg.image_size, cfg.image_size)
+        )
 
         obj_ptr = self.obj_ptr_proj(sam_output_token)
         is_obj_appearing = (object_score_logits > 0).astype(jnp.float32)
@@ -180,7 +183,6 @@ class Sam2Model(nn.Module):
         ) * self.no_obj_ptr
         return {
             "low_res_multimasks": low_res_multimasks,
-            "high_res_multimasks": high_res_multimasks,
             "ious": ious,
             "low_res_masks": low_res_masks,
             "high_res_masks": high_res_masks,

@@ -77,23 +77,28 @@ class MemoryBank:
     """Static-shape memory state helpers (pure functions over a dict)."""
 
     @staticmethod
-    def init(cfg: Sam2Config, batch: int) -> Dict[str, jnp.ndarray]:
+    def init(
+        cfg: Sam2Config, batch: int, dtype=jnp.float32
+    ) -> Dict[str, jnp.ndarray]:
+        """`dtype` must match the memory-encoder output dtype: `.at[].set`
+        silently casts to the BUFFER's dtype, so an f32 bank would promote
+        every downstream memory-attention matmul (28.7k keys) to f32."""
         s = cfg.feat_size
         ltok = s * s
         n_ring = cfg.num_maskmem - 1
         n_ptr = cfg.max_obj_ptrs_in_encoder - 1
         return {
             # conditioning frame memory (t_pos = 0)
-            "cond_feat": jnp.zeros((batch, ltok, cfg.mem_dim), jnp.float32),
-            "cond_ptr": jnp.zeros((batch, cfg.hidden_dim), jnp.float32),
+            "cond_feat": jnp.zeros((batch, ltok, cfg.mem_dim), dtype),
+            "cond_ptr": jnp.zeros((batch, cfg.hidden_dim), dtype),
             "cond_valid": jnp.zeros((), bool),
             # ring of the last (num_maskmem - 1) non-cond frame memories
             "ring_feat": jnp.zeros(
-                (n_ring, batch, ltok, cfg.mem_dim), jnp.float32
+                (n_ring, batch, ltok, cfg.mem_dim), dtype
             ),
             "ring_frame": -jnp.ones((n_ring,), jnp.int32),
             # ring of the last (max_obj_ptrs - 1) object pointers
-            "ptr_ring": jnp.zeros((n_ptr, batch, cfg.hidden_dim), jnp.float32),
+            "ptr_ring": jnp.zeros((n_ptr, batch, cfg.hidden_dim), dtype),
             "ptr_frame": -jnp.ones((n_ptr,), jnp.int32),
         }
 
@@ -166,7 +171,11 @@ def _build_memory(
         [memory, ptr_tokens.transpose(1, 0, 2)], axis=1
     )
     memory_pos = jnp.concatenate(
-        [memory_pos, jnp.zeros((b, num_ptr_tokens, cfg.mem_dim))], axis=1
+        [
+            memory_pos,
+            jnp.zeros((b, num_ptr_tokens, cfg.mem_dim), memory_pos.dtype),
+        ],
+        axis=1,
     )
     valid = jnp.concatenate(
         [valid, jnp.broadcast_to(ptr_valid[None], (b, num_ptr_tokens))],
@@ -225,7 +234,7 @@ def track_video(
         params, tile(s2[0]), out0["high_res_masks"].transpose(0, 2, 3, 1),
         method=Sam2Model.encode_new_memory,
     )
-    state = MemoryBank.init(cfg, batch=n_obj)
+    state = MemoryBank.init(cfg, batch=n_obj, dtype=mem0.dtype)
     state["cond_feat"] = mem0.reshape(n_obj, s * s, cfg.mem_dim)
     state["cond_ptr"] = out0["obj_ptr"]
     state["cond_valid"] = jnp.ones((), bool)

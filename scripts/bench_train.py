@@ -33,6 +33,12 @@ def main():
         help="A/B: backprop through the frozen SAM trunk (the pre-"
         "stop_gradient behavior)",
     )
+    p.add_argument(
+        "--vision", action="store_true",
+        help="include video pixel tokens through the Qwen vision tower "
+        "(the reference's real train workload: 320-merged-token video "
+        "budget, ref run_torchrun.sh:19)",
+    )
     args = p.parse_args()
 
     import jax
@@ -76,9 +82,50 @@ def main():
     ids[:, L // 2] = SEG
     labels = ids.copy()
     labels[:, : L // 4] = -100
-    pos = np.broadcast_to(
-        np.arange(L)[None, None], (3, B, L)
-    ).astype(np.int32).copy()
+
+    patches = None
+    layout_args = None
+    n_patches = 0
+    if args.vision:
+        from rga3_tpu.models.qwen25vl.config import VIDEO_PAD_TOKEN_ID
+        from rga3_tpu.models.qwen25vl.positions import get_rope_index
+        from rga3_tpu.models.qwen25vl.vision import (
+            compute_vision_layout, layout_device_args,
+        )
+
+        vcfg = qcfg.vision
+        # 8 frames -> 4 temporal groups x 16x20 merged grid = 320 tokens
+        grid = (4, 16, 20) if args.size != "tiny" else (1, 4, 4)
+        grids = [grid] * B
+        n_patches = B * grid[0] * grid[1] * grid[2]
+        n_merged = (grid[0] * grid[1] * grid[2]) // vcfg.merge_unit
+        assert n_merged < L // 2, "seq too short for the video budget"
+        layout_args = layout_device_args(
+            compute_vision_layout(grids, vcfg), vcfg
+        )
+        vid_start = L // 4
+        ids[:, vid_start : vid_start + n_merged] = VIDEO_PAD_TOKEN_ID
+        ids[:, L // 2] = SEG  # keep the [SEG] site after the overlay
+        labels = ids.copy()
+        labels[:, : L // 4] = -100
+        pos, _ = get_rope_index(
+            qcfg, ids, video_grid_thw=grids,
+            second_per_grid_ts=[1.0] * B,
+        )
+        pos = np.asarray(pos)
+        patches = jnp.asarray(
+            rng.normal(
+                size=(
+                    n_patches,
+                    3 * vcfg.temporal_patch_size * vcfg.patch_size ** 2,
+                )
+            ).astype(np.float32),
+            jnp.bfloat16,
+        )
+    else:
+        pos = np.broadcast_to(
+            np.arange(L)[None, None], (3, B, L)
+        ).astype(np.int32).copy()
     images_sam = jnp.asarray(
         rng.normal(size=(B, T, S, S, 3)).astype(np.float32), jnp.bfloat16
     )
@@ -115,7 +162,15 @@ def main():
     tcfg = TrainConfig(grad_accum_steps=1)
     state, tx = make_train_state(tcfg, params, mesh=None)
 
+    vl_keys = tuple(layout_args) if args.vision else ()
+
     def loss_fn(p, batch):
+        kw = {}
+        if args.vision:
+            kw = dict(
+                pixel_patches=batch["pixel_patches"],
+                vision_layout={k: batch["vl_" + k] for k in vl_keys},
+            )
         return model.apply(
             p,
             batch["input_ids"], batch["labels"], batch["position_ids"],
@@ -123,6 +178,7 @@ def main():
             jnp.ones((B,)),
             compute_dtype=jnp.bfloat16,
             method=UniGR.train_forward,
+            **kw,
         )
 
     step = build_train_step(loss_fn, tx, grad_accum_steps=1)
@@ -133,15 +189,21 @@ def main():
         "images_sam": images_sam[None],
         "gt_masks": gt[None],
     }
+    if args.vision:
+        batch["pixel_patches"] = patches[None]
+        for k, v in layout_args.items():
+            batch["vl_" + k] = v[None]
 
     t0 = time.time()
     step_c = step.lower(state, batch).compile()
-    try:
-        ca = step_c.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        step_flops = float(ca.get("flops", 0.0))
-    except Exception:
-        step_flops = 0.0
+    # analytic model FLOPs — XLA cost_analysis counts 0 for Pallas
+    # custom calls (flash attention, fused Hiera blocks), understating
+    # MFU several-fold; see utils/flops.py + tests/test_flops.py
+    from rga3_tpu.utils.flops import unigr_train_step_flops
+
+    step_flops = unigr_train_step_flops(
+        cfg, batch=B, seq=L, sam_frames=T, vision_patches=n_patches
+    )
     state, aux = step_c(state, batch)
     loss0 = float(aux["loss"])
     print(
@@ -163,6 +225,7 @@ def main():
         "size": args.size,
         "seq": L,
         "sam_frames": T,
+        "vision_patches": n_patches,
         "value": round(best, 3),
         "unit": "samples/sec/chip",
         "step_ms": round(1000 * B / best, 1),

@@ -48,6 +48,27 @@ def test_rle_bbox():
     np.testing.assert_array_equal(bb, [3, 2, 5, 3])
 
 
+def test_rle_native_matches_numpy_fallback():
+    """The C++ codec (native/rle.cpp) and the pure-numpy fallback must
+    produce byte-identical strings and identical masks."""
+    if rle._native_lib() is None:
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (13, 1), (1, 13), (64, 48), (127, 255)]:
+        m = (rng.random(shape) > 0.5).astype(np.uint8)
+        enc_native = rle.encode(m)
+        # force the numpy fallback
+        lib, rle._LIB, rle._LIB_FAILED = rle._LIB, None, True
+        try:
+            enc_py = rle.encode(m)
+            dec_py = rle.decode(enc_native)
+        finally:
+            rle._LIB, rle._LIB_FAILED = lib, False
+        assert enc_native["counts"] == enc_py["counts"], shape
+        np.testing.assert_array_equal(rle.decode(enc_native), m)
+        np.testing.assert_array_equal(dec_py, m)
+
+
 # ---------------------------------------------------------------- J&F
 def test_iou_identical_and_disjoint():
     a = np.zeros((16, 16), bool)
