@@ -92,7 +92,12 @@ class MemoryBank:
             "cond_feat": jnp.zeros((batch, ltok, cfg.mem_dim), dtype),
             "cond_ptr": jnp.zeros((batch, cfg.hidden_dim), dtype),
             "cond_valid": jnp.zeros((), bool),
-            # ring of the last (num_maskmem - 1) non-cond frame memories
+            # the immediately previous frame (t_rel = 1 — kept regardless
+            # of the eval stride, ref :2863-2870)
+            "prev_feat": jnp.zeros((batch, ltok, cfg.mem_dim), dtype),
+            "prev_frame": -jnp.ones((), jnp.int32),
+            # ring of stride-aligned non-cond frame memories (t_rel >= 2;
+            # every frame when memory_temporal_stride_for_eval == 1)
             "ring_feat": jnp.zeros(
                 (n_ring, batch, ltok, cfg.mem_dim), dtype
             ),
@@ -101,6 +106,22 @@ class MemoryBank:
             "ptr_ring": jnp.zeros((n_ptr, batch, cfg.hidden_dim), dtype),
             "ptr_frame": -jnp.ones((n_ptr,), jnp.int32),
         }
+
+
+def wanted_memory_frame(cfg: Sam2Config, frame_idx, t_rel):
+    """Frame index attended at temporal distance t_rel (>= 2), walking
+    every r-th frame (ref :2871-2880; r=1 reduces to frame_idx - t_rel).
+    Works on python ints and traced jnp scalars alike."""
+    r = cfg.memory_temporal_stride_for_eval
+    return ((frame_idx - 2) // r) * r - (t_rel - 2) * r
+
+
+def ring_slot(cfg: Sam2Config, frame_idx):
+    """Ring slot for a stride-aligned frame's memory. The ring keeps the
+    last (num_maskmem - 1) aligned frames; collisions are impossible
+    within the lookback window wanted_memory_frame can produce."""
+    r = cfg.memory_temporal_stride_for_eval
+    return (frame_idx // r) % (cfg.num_maskmem - 1)
 
 
 def _build_memory(
@@ -130,13 +151,20 @@ def _build_memory(
     valids = [jnp.broadcast_to(state["cond_valid"], (b, ltok))]
 
     # previous frames: t_pos = 1..num_maskmem-1 maps to t_rel =
-    # num_maskmem - t_pos frames before current (r=1 stride, ref :2860-2890)
+    # num_maskmem - t_pos frames before current. t_rel == 1 is always the
+    # immediately previous frame; t_rel >= 2 walk every r-th frame, r =
+    # memory_temporal_stride_for_eval (ref :2860-2890)
     for t_pos in range(1, cfg.num_maskmem):
         t_rel = cfg.num_maskmem - t_pos
-        want = frame_idx - t_rel
-        slot = jnp.mod(want, n_ring)
-        feat = state["ring_feat"][slot]
-        ok = (state["ring_frame"][slot] == want) & (want >= 0)
+        if t_rel == 1:
+            want = frame_idx - 1
+            feat = state["prev_feat"]
+            ok = (state["prev_frame"] == want) & (want >= 0)
+        else:
+            want = wanted_memory_frame(cfg, frame_idx, t_rel)
+            slot = ring_slot(cfg, want)
+            feat = state["ring_feat"][slot]
+            ok = (state["ring_frame"][slot] == want) & (want >= 0)
         feats.append(feat)
         poses.append(
             mem_pos_spatial[None]
@@ -261,12 +289,20 @@ def track_video(
         )
         n_ring = cfg.num_maskmem - 1
         n_ptr = cfg.max_obj_ptrs_in_encoder - 1
-        slot = jnp.mod(idx, n_ring)
+        r_stride = cfg.memory_temporal_stride_for_eval
+        memf = memf.reshape(n_obj, s * s, cfg.mem_dim)
         state = dict(state)
+        state["prev_feat"] = memf
+        state["prev_frame"] = idx
+        # the t_rel >= 2 pool keeps stride-aligned frames only
+        aligned = (idx % r_stride) == 0
+        slot = ring_slot(cfg, idx)
         state["ring_feat"] = state["ring_feat"].at[slot].set(
-            memf.reshape(n_obj, s * s, cfg.mem_dim)
+            jnp.where(aligned, memf, state["ring_feat"][slot])
         )
-        state["ring_frame"] = state["ring_frame"].at[slot].set(idx)
+        state["ring_frame"] = state["ring_frame"].at[slot].set(
+            jnp.where(aligned, idx, state["ring_frame"][slot])
+        )
         pslot = jnp.mod(idx, n_ptr)
         state["ptr_ring"] = state["ptr_ring"].at[pslot].set(out["obj_ptr"])
         state["ptr_frame"] = state["ptr_frame"].at[pslot].set(idx)

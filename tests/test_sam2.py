@@ -111,3 +111,55 @@ def test_track_video_multi_object(sam2):
         ).max()
         > 1e-3
     )
+
+
+def test_memory_stride_selection_matches_reference_simulation():
+    """wanted_memory_frame + the aligned-ring write policy must make every
+    frame the reference's dict-based lookup would find retrievable, for
+    r in {1, 2, 3} (ref sam2.py:2860-2890: t_rel==1 -> last frame;
+    t_rel>=2 -> every r-th frame)."""
+    from rga3_tpu.models.sam2.video import ring_slot, wanted_memory_frame
+
+    base = tiny_sam2_config(image_size=32)
+    for r in (1, 2, 3):
+        cfg = base.replace(memory_temporal_stride_for_eval=r)
+        n_ring = cfg.num_maskmem - 1
+        ring = {}  # slot -> frame stored (aligned frames only)
+        for idx in range(1, 60):
+            for t_rel in range(2, cfg.num_maskmem):
+                want = wanted_memory_frame(cfg, idx, t_rel)
+                # the reference finds `want` iff it's a real tracked frame
+                ref_has = 1 <= want < idx
+                ours = ring.get(int(ring_slot(cfg, want))) == want
+                assert ours == ref_has, (r, idx, t_rel, want)
+                if r == 1:
+                    assert want == idx - t_rel  # stride-1 degenerates
+            if idx % r == 0:
+                ring[int(ring_slot(cfg, idx))] = idx
+        del n_ring
+
+
+def test_track_video_stride2(sam2):
+    """Stride-2 memory selection runs and picks a different memory bank
+    (different masks) than stride-1 once the rings diverge."""
+    cfg, model, params, frames, lang = sam2
+    frames8 = jnp.concatenate([frames] * 4, axis=0)  # T=8
+    out1 = track_video(model, params, frames8, language_embd=lang[:1])
+    cfg2 = cfg.replace(memory_temporal_stride_for_eval=2)
+    out2 = track_video(
+        Sam2Model(cfg2), params, frames8, language_embd=lang[:1]
+    )
+    assert np.isfinite(np.asarray(out2["high_res_masks"])).all()
+    # frames 0-2 see identical banks under both strides; later ones differ
+    np.testing.assert_allclose(
+        np.asarray(out1["high_res_masks"][:2]),
+        np.asarray(out2["high_res_masks"][:2]),
+        rtol=1e-5, atol=1e-5,
+    )
+    assert (
+        np.abs(
+            np.asarray(out1["high_res_masks"][4:])
+            - np.asarray(out2["high_res_masks"][4:])
+        ).max()
+        > 1e-7
+    )
