@@ -131,6 +131,35 @@ class Sam2Config(ConfigBase):
     twoway_heads: int = 8
     # losses / misc
 
+    # Flags above that only ever take the release values (ref
+    # model/sam2.py:110-128) have their behavior hard-coded in the modules;
+    # validate here so flipping one raises instead of silently no-oping.
+    _HARDCODED = {
+        "use_high_res_features_in_sam": True,  # decoder always consumes s0/s1 skips
+        "multimask_output_in_sam": True,  # call sites pass multimask for 0/1-pt prompts
+        "multimask_min_pt_num": 0,
+        "multimask_max_pt_num": 1,
+        "multimask_output_for_tracking": True,  # video.py decodes with multimask
+        "use_obj_ptrs_in_encoder": True,  # memory bank always carries ptr tokens
+        "add_tpos_enc_to_obj_ptrs": False,  # obj_ptrs_to_tokens adds no temporal PE
+        "only_obj_ptrs_in_the_past_for_eval": True,  # forward-only scan: inherent
+        "pred_obj_scores": True,  # obj_score_token/head always built
+        "pred_obj_scores_mlp": True,  # obj_score_head is a 3-layer MLP
+        "fixed_no_obj_ptr": True,  # no_obj_ptr blend always applied (model.py:181)
+        "use_mlp_for_obj_ptr_proj": True,  # obj_ptr_proj is a 3-layer MLP
+        "directly_add_no_mem_embed": True,  # no-memory path adds no_mem_embed
+    }
+
+    def __post_init__(self) -> None:
+        for name, required in self._HARDCODED.items():
+            got = getattr(self, name)
+            if got != required:
+                raise ValueError(
+                    f"Sam2Config.{name}={got!r} is not implemented: the release "
+                    f"value {required!r} (ref model/sam2.py:110-128) is "
+                    "hard-coded in the sam2 modules."
+                )
+
     @property
     def feat_size(self) -> int:
         return self.image_size // self.backbone_stride

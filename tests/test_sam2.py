@@ -163,3 +163,20 @@ def test_track_video_stride2(sam2):
         ).max()
         > 1e-7
     )
+
+
+def test_hardcoded_release_flags_validated():
+    """Non-release values of hard-coded flags raise (ref model/sam2.py:110-128)."""
+    import dataclasses
+    import pytest
+    from rga3_tpu.models.sam2.config import Sam2Config
+
+    cfg = Sam2Config()
+    for name, required in Sam2Config._HARDCODED.items():
+        assert getattr(cfg, name) == required
+    with pytest.raises(ValueError, match="add_tpos_enc_to_obj_ptrs"):
+        dataclasses.replace(cfg, add_tpos_enc_to_obj_ptrs=True)
+    with pytest.raises(ValueError, match="pred_obj_scores"):
+        dataclasses.replace(cfg, pred_obj_scores=False)
+    # wired flags still accept both values
+    assert dataclasses.replace(cfg, iou_prediction_use_sigmoid=False)
