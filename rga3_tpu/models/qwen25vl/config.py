@@ -66,6 +66,8 @@ class QwenTextConfig(ConfigBase):
     rope_theta: float = 1_000_000.0
     mrope_section: Tuple[int, ...] = (16, 24, 24)
     tie_word_embeddings: bool = False
+    # HF checkpoint metadata only: sequence length here is bounded by the
+    # static shapes of each jitted call, not by a config ceiling
     max_position_embeddings: int = 128000
     # LoRA over q_proj/v_proj (ref: train_joint.py:193-232, r=128 α=256 in
     # the release run — run_torchrun.sh:30-31). 0 disables.

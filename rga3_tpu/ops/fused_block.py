@@ -53,6 +53,17 @@ def gelu_variant(cfg_tanh: Optional[bool] = None) -> bool:
     return True if cfg_tanh is None else bool(cfg_tanh)
 
 
+def _vmem_budget_bytes() -> int:
+    """Scoped-VMEM budget the kernels size their blocks against.
+
+    Default 14 MiB leaves headroom under XLA's 16 MiB scoped-vmem limit
+    (--xla_tpu_scoped_vmem_limit_kib default). RGA3_SCOPED_VMEM_MIB lets
+    perf experiments that raise the XLA flag tell the kernels about the
+    bigger budget (set both together)."""
+    mib = _os.environ.get("RGA3_SCOPED_VMEM_MIB", "")
+    return (int(mib) if mib else 14) * 2**20
+
+
 def _gelu_f32(x, tanh: bool = True):
     if tanh:
         # same tanh form _reference_block uses via jax.nn.gelu — one
@@ -794,7 +805,7 @@ def fused_window_block(
         temps = blk * (3 * d + f) * 2 + blk * f * 4  # qkv + h1 + h1f
         return weights + toks + scores + temps
 
-    while block > window and vmem_bytes(block) > 14 * 2**20:
+    while block > window and vmem_bytes(block) > _vmem_budget_bytes():
         block //= 2
     if block % window != 0:
         # halving can break the groups-never-straddle-blocks invariant
