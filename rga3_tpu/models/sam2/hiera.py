@@ -73,6 +73,18 @@ class MultiScaleBlock(nn.Module):
                 return self._fused(x) if ws > 0 else self._fused_global(x)
             if ws > 0 and cfg.use_split_fused_block:
                 return self._fused(x, split=True)
+        if (
+            self.do_q_pool
+            and self.dim != self.dim_out
+            and ws > 0
+            and cfg.use_fused_block
+            and cfg.q_stride == (2, 2)
+            and x.shape[1] % ws == 0
+            and x.shape[2] % ws == 0
+        ):
+            # stage-entry transition block (q-pool + dim change); falls
+            # back to the XLA mirror when weights exceed the VMEM budget
+            return self._fused_transition(x)
         shortcut = x  # (B, H, W, C)
         normed = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
 
@@ -186,6 +198,65 @@ class MultiScaleBlock(nn.Module):
             "w1": m0["kernel"].astype(x.dtype), "b1": m0["bias"],
             "w2": m1["kernel"].astype(x.dtype), "b2": m1["bias"],
         }
+
+    def _transition_params(self, x: jnp.ndarray) -> dict:
+        """Parameter declaration for the q-pool transition block — same
+        submodule names/shapes as the unfused path (dummy calls, DCE'd)."""
+        cfg = self.cfg
+        ci, co = self.dim, self.dim_out
+        z1 = jnp.zeros((1, ci), x.dtype)
+        zo = jnp.zeros((1, co), x.dtype)
+        nn.LayerNorm(epsilon=1e-6, name="norm1")(z1)
+        nn.Dense(co, name="proj")(z1)
+        nn.Dense(3 * co, name="attn_qkv")(z1)
+        nn.Dense(co, name="attn_proj")(zo)
+        nn.LayerNorm(epsilon=1e-6, name="norm2")(zo)
+        hidden_dim = int(co * cfg.mlp_ratio)
+        nn.Dense(hidden_dim, name="mlp_layers_0")(zo)
+        nn.Dense(co, name="mlp_layers_1")(
+            jnp.zeros((1, hidden_dim), x.dtype)
+        )
+
+        def g(name):
+            return self.scope.get_variable("params", name)
+
+        n1, n2 = g("norm1"), g("norm2")
+        proj, qkv = g("proj"), g("attn_qkv")
+        aproj = g("attn_proj")
+        m0, m1 = g("mlp_layers_0"), g("mlp_layers_1")
+        return {
+            "ln1_g": n1["scale"], "ln1_b": n1["bias"],
+            "wproj": proj["kernel"].astype(x.dtype),
+            "bproj": proj["bias"],
+            "wqkv": qkv["kernel"].astype(x.dtype),
+            "bqkv": qkv["bias"],
+            "wattn": aproj["kernel"].astype(x.dtype),
+            "battn": aproj["bias"],
+            "ln2_g": n2["scale"], "ln2_b": n2["bias"],
+            "w1": m0["kernel"].astype(x.dtype), "b1": m0["bias"],
+            "w2": m1["kernel"].astype(x.dtype), "b2": m1["bias"],
+        }
+
+    def _fused_transition(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Fused q-pool transition path (LN+proj-pool-shortcut+qkv+pooled-q
+        window attention+proj+LN+MLP in one kernel)."""
+        from ...ops.fused_block import fused_transition_block
+
+        params = self._transition_params(x)
+        ws = self.window_size
+        b, h, w = x.shape[:3]
+        attn_in, pad_hw = window_partition(x, ws)
+        n_win = attn_in.shape[0] // b
+        tokens = attn_in.reshape(b, n_win * ws * ws, self.dim)
+        out = fused_transition_block(
+            tokens, params, num_heads=self.num_heads, ws=ws,
+            gelu_tanh=self.cfg.gelu_tanh,
+        )
+        ws_out = ws // 2
+        out = out.reshape(b * n_win, ws_out, ws_out, self.dim_out)
+        return window_unpartition(
+            out, ws_out, (pad_hw[0] // 2, pad_hw[1] // 2), (h // 2, w // 2)
+        )
 
     def _fused_global(self, x: jnp.ndarray) -> jnp.ndarray:
         """Global-attention block: Pallas LN+qkv prologue, flash attention,

@@ -830,3 +830,332 @@ def fused_window_block(
     return _fused_block_tpu(
         x, params, num_heads, window, block, eps, scale, gelu_tanh
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused q-pool TRANSITION block: the three stage-entry Hiera blocks
+# (dim != dim_out, 2x2 query pooling; ref model/sam2.py MultiScaleBlock
+# with q_stride — blocks 2/8/44 of Hiera-L). One kernel runs
+# LN1 -> proj(+2x2 maxpool shortcut) -> qkv -> pooled-q window attention
+# -> attn proj -> residual -> LN2 -> MLP, with all weights VMEM-resident.
+# ---------------------------------------------------------------------------
+
+
+def _pool_win_2x2(t: jnp.ndarray, k_w: int, ws: int) -> jnp.ndarray:
+    """(k_w*ws*ws, C) window-major row-major tokens -> 2x2 spatial max
+    per window -> (k_w*(ws//2)**2, C). Never straddles window borders
+    (ws is even for every Hiera stage)."""
+    c = t.shape[-1]
+    t6 = t.reshape(k_w, ws // 2, 2, ws // 2, 2, c)
+    p = jnp.max(jnp.max(t6, axis=4), axis=2)
+    return p.reshape(k_w * (ws // 2) * (ws // 2), c)
+
+
+def _transition_kernel(
+    x_ref, ln1_g, ln1_b, wproj, bproj, wqkv, bqkv, wattn, battn,
+    ln2_g, ln2_b, w1, b1, w2, b2, o_ref,
+    *, num_heads: int, head_dim: int, ws: int, block_windows: int,
+    eps: float, scale: float, gelu_tanh: bool,
+):
+    xb = x_ref[0]  # (k_w*ws*ws, C_in) bf16
+    k_w = block_windows
+    win = ws * ws
+    q_win = (ws // 2) ** 2
+    hd = head_dim
+
+    ln1 = _layernorm(
+        xb.astype(jnp.float32), ln1_g[0].astype(jnp.float32),
+        ln1_b[0].astype(jnp.float32), eps,
+    ).astype(xb.dtype)
+
+    # residual shortcut: proj at full res, then 2x2 max pool
+    proj = (
+        jax.lax.dot(ln1, wproj[...], preferred_element_type=jnp.float32)
+        + bproj[0].astype(jnp.float32)
+    ).astype(xb.dtype)  # (T_in, C_out)
+    shortcut = _pool_win_2x2(proj, k_w, ws)  # (T_out, C_out)
+
+    qkv = (
+        jax.lax.dot(ln1, wqkv[...], preferred_element_type=jnp.float32)
+        + bqkv[0].astype(jnp.float32)
+    ).astype(xb.dtype)  # (T_in, 3*H*hd)
+
+    if k_w > 1:
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (k_w * q_win, k_w * win), 0
+        )
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (k_w * q_win, k_w * win), 1
+        )
+        same = (rows // q_win) == (cols // win)
+    else:
+        same = None
+    outs = []
+    for h in range(num_heads):
+        q = _pool_win_2x2(qkv[:, h * hd:(h + 1) * hd], k_w, ws)
+        k = qkv[:, (num_heads + h) * hd:(num_heads + h + 1) * hd]
+        v = qkv[:, (2 * num_heads + h) * hd:(2 * num_heads + h + 1) * hd]
+        s = jax.lax.dot_general(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * scale
+        if same is not None:
+            s = jnp.where(same, s, DEFAULT_MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(
+            (p / l).astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        outs.append(o.astype(xb.dtype))
+    attn = jnp.concatenate(outs, axis=-1)  # (T_out, C_out)
+
+    aout = (
+        jax.lax.dot(attn, wattn[...], preferred_element_type=jnp.float32)
+        + battn[0].astype(jnp.float32)
+    ).astype(xb.dtype)
+    y = shortcut + aout
+
+    ln2 = _layernorm(
+        y.astype(jnp.float32), ln2_g[0].astype(jnp.float32),
+        ln2_b[0].astype(jnp.float32), eps,
+    ).astype(xb.dtype)
+    h1 = (
+        jax.lax.dot(ln2, w1[...], preferred_element_type=jnp.float32)
+        + b1[0].astype(jnp.float32)
+    ).astype(xb.dtype)
+    g = _gelu_f32(h1.astype(jnp.float32), gelu_tanh).astype(xb.dtype)
+    h2 = (
+        jax.lax.dot(g, w2[...], preferred_element_type=jnp.float32)
+        + b2[0].astype(jnp.float32)
+    ).astype(xb.dtype)
+    o_ref[0] = y + h2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "ws", "block_windows", "eps", "scale", "interpret",
+        "gelu_tanh",
+    ),
+)
+def _transition_call(
+    x, ln1_g, ln1_b, wproj, bproj, wqkv, bqkv, wattn, battn,
+    ln2_g, ln2_b, w1, b1, w2, b2,
+    *, num_heads, ws, block_windows, eps, scale, interpret, gelu_tanh,
+):
+    b, l_in, c_in = x.shape
+    win = ws * ws
+    n_win = l_in // win
+    c_out = wproj.shape[1]
+    hd = c_out // num_heads
+    k_w = block_windows
+    grid = (b, n_win // k_w)
+    x_spec = pl.BlockSpec((1, k_w * win, c_in), lambda b_, wi: (b_, wi, 0))
+    l_out = n_win * (ws // 2) ** 2
+    o_spec = pl.BlockSpec(
+        (1, k_w * (ws // 2) ** 2, c_out), lambda b_, wi: (b_, wi, 0)
+    )
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda b_, wi: tuple(0 for _ in shape))
+
+    kernel = functools.partial(
+        _transition_kernel, num_heads=num_heads, head_dim=hd, ws=ws,
+        block_windows=k_w, eps=eps, scale=scale, gelu_tanh=gelu_tanh,
+    )
+    f = w1.shape[1]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            x_spec,
+            const((1, c_in)), const((1, c_in)),        # ln1 g/b
+            const((c_in, c_out)), const((1, c_out)),   # proj
+            const((c_in, 3 * c_out)), const((1, 3 * c_out)),  # qkv
+            const((c_out, c_out)), const((1, c_out)),  # attn proj
+            const((1, c_out)), const((1, c_out)),      # ln2 g/b
+            const((c_out, f)), const((1, f)),
+            const((f, c_out)), const((1, c_out)),
+        ],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((b, l_out, c_out), x.dtype),
+        interpret=interpret,
+    )(
+        x, ln1_g, ln1_b, wproj, bproj, wqkv, bqkv, wattn, battn,
+        ln2_g, ln2_b, w1, b1, w2, b2,
+    )
+
+
+def _reference_transition(
+    x, p, *, num_heads: int, ws: int, eps: float, scale: float,
+    gelu_tanh: bool = True,
+):
+    """Pure-XLA mirror of the transition kernel on the same window-major
+    (B, L_in, C_in) token layout (CPU fallback + vjp-backward body)."""
+    b, l_in, c_in = x.shape
+    win = ws * ws
+    n_win = l_in // win
+    c_out = p["wproj"].shape[1]
+    hd = c_out // num_heads
+
+    def ln(v, g, bb):
+        return _layernorm(v.astype(jnp.float32), g, bb, eps).astype(v.dtype)
+
+    def pool(t):  # (B, n_win*win, C) -> (B, n_win*win//4, C)
+        c = t.shape[-1]
+        t6 = t.reshape(b, n_win, ws // 2, 2, ws // 2, 2, c)
+        return jnp.max(jnp.max(t6, axis=5), axis=3).reshape(b, -1, c)
+
+    ln1 = ln(x, p["ln1_g"], p["ln1_b"])
+    shortcut = pool(
+        ((ln1 @ p["wproj"]).astype(jnp.float32) + p["bproj"]).astype(x.dtype)
+    )
+    qkv = ((ln1 @ p["wqkv"]).astype(jnp.float32) + p["bqkv"]).astype(x.dtype)
+    qkv = qkv.reshape(b, l_in, 3, num_heads, hd)
+    q = pool(qkv[:, :, 0].reshape(b, l_in, num_heads * hd))
+    q = q.reshape(b * n_win, win // 4, num_heads, hd)
+    k = qkv[:, :, 1].reshape(b * n_win, win, num_heads, hd)
+    v = qkv[:, :, 2].reshape(b * n_win, win, num_heads, hd)
+    from .attention import mha_reference
+
+    attn = mha_reference(q, k, v, scale=scale).reshape(
+        b, n_win * win // 4, c_out
+    )
+    aout = (
+        (attn @ p["wattn"]).astype(jnp.float32) + p["battn"]
+    ).astype(x.dtype)
+    y = shortcut + aout
+    ln2 = ln(y, p["ln2_g"], p["ln2_b"])
+    h1 = ((ln2 @ p["w1"]).astype(jnp.float32) + p["b1"]).astype(x.dtype)
+    g = jax.nn.gelu(h1, approximate=gelu_tanh)
+    h2 = ((g @ p["w2"]).astype(jnp.float32) + p["b2"]).astype(x.dtype)
+    return y + h2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _transition_tpu(x, params, num_heads, ws, block_windows, eps, scale,
+                    gelu_tanh):
+    def row(v):
+        return v.reshape(1, -1)
+
+    return _transition_call(
+        x,
+        row(params["ln1_g"]), row(params["ln1_b"]),
+        params["wproj"], row(params["bproj"]),
+        params["wqkv"], row(params["bqkv"]),
+        params["wattn"], row(params["battn"]),
+        row(params["ln2_g"]), row(params["ln2_b"]),
+        params["w1"], row(params["b1"]),
+        params["w2"], row(params["b2"]),
+        num_heads=num_heads, ws=ws, block_windows=block_windows, eps=eps,
+        scale=scale, interpret=False, gelu_tanh=gelu_tanh,
+    )
+
+
+def _transition_fwd(x, params, num_heads, ws, block_windows, eps, scale,
+                    gelu_tanh):
+    out = _transition_tpu(
+        x, params, num_heads, ws, block_windows, eps, scale, gelu_tanh
+    )
+    return out, (x, params)
+
+
+def _transition_bwd(num_heads, ws, block_windows, eps, scale, gelu_tanh,
+                    res, g):
+    x, params = res
+    _, vjp = jax.vjp(
+        lambda x_, p_: _reference_transition(
+            x_, p_, num_heads=num_heads, ws=ws, eps=eps, scale=scale,
+            gelu_tanh=gelu_tanh,
+        ),
+        x, params,
+    )
+    return vjp(g)
+
+
+_transition_tpu.defvjp(_transition_fwd, _transition_bwd)
+
+
+def fused_transition_block(
+    x: jnp.ndarray,
+    params: dict,
+    *,
+    num_heads: int,
+    ws: int,
+    eps: float = 1e-6,
+    scale: Optional[float] = None,
+    block_windows: Optional[int] = None,
+    interpret: bool = False,
+    gelu_tanh: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused q-pool transition block over window-major tokens.
+
+    x: (B, n_win*ws*ws, C_in); returns (B, n_win*(ws//2)**2, C_out).
+    params: ln1_g/b (C_in,), wproj (C_in,C_out)+bproj, wqkv (C_in,3*C_out)
+    +bqkv, wattn (C_out,C_out)+battn, ln2_g/b (C_out,), w1 (C_out,F)+b1,
+    w2 (F,C_out)+b2. qkv column order (q|k|v) x heads x head_dim.
+    """
+    b, l_in, c_in = x.shape
+    win = ws * ws
+    n_win = l_in // win
+    c_out = params["wproj"].shape[1]
+    f = params["w1"].shape[1]
+    gelu_tanh = gelu_variant(gelu_tanh)
+    if scale is None:
+        scale = 1.0 / math.sqrt(c_out // num_heads)
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or interpret):
+        return _reference_transition(
+            x, params, num_heads=num_heads, ws=ws, eps=eps, scale=scale,
+            gelu_tanh=gelu_tanh,
+        )
+
+    if block_windows is None:
+        # target ~256 query rows per grid step (fills the MXU M dim)
+        block_windows = max(1, 256 // (win // 4))
+    k_w = min(block_windows, n_win)
+    while n_win % k_w != 0:
+        k_w -= 1
+
+    def vmem_bytes(kw):
+        weights = 2 * (
+            c_in * (c_out + 3 * c_out) + c_out * c_out + 2 * c_out * f
+        )
+        toks = 2 * 2 * kw * win * c_in  # in, double-buffered, bf16
+        scores = (kw * win // 4) * (kw * win) * 4  # f32, per head serial
+        temps = kw * win * (3 * c_out + c_out) * 2 + kw * win // 4 * f * 4
+        return weights + toks + scores + temps
+
+    while k_w > 1 and vmem_bytes(k_w) > _vmem_budget_bytes():
+        k_w //= 2
+        while n_win % k_w != 0:
+            k_w -= 1
+    if vmem_bytes(k_w) > _vmem_budget_bytes():
+        # weights alone exceed the scoped limit (Hiera-L block 44 at the
+        # default 16 MiB) — run the XLA reference instead
+        return _reference_transition(
+            x, params, num_heads=num_heads, ws=ws, eps=eps, scale=scale,
+            gelu_tanh=gelu_tanh,
+        )
+
+    if interpret:
+        def row(v):
+            return v.reshape(1, -1)
+
+        return _transition_call(
+            x,
+            row(params["ln1_g"]), row(params["ln1_b"]),
+            params["wproj"], row(params["bproj"]),
+            params["wqkv"], row(params["bqkv"]),
+            params["wattn"], row(params["battn"]),
+            row(params["ln2_g"]), row(params["ln2_b"]),
+            params["w1"], row(params["b1"]),
+            params["w2"], row(params["b2"]),
+            num_heads=num_heads, ws=ws, block_windows=k_w, eps=eps,
+            scale=scale, interpret=True, gelu_tanh=gelu_tanh,
+        )
+    return _transition_tpu(
+        x, params, num_heads, ws, k_w, eps, scale, gelu_tanh
+    )

@@ -189,6 +189,44 @@ def main():
     for kk in p:
         close(f"grad {kk}", gf[kk], gr[kk], 1e-2)
 
+    # ---- q-pool transition block (stage-entry: pooled q, dim change) ----
+    from rga3_tpu.ops.fused_block import (
+        _reference_transition,
+        fused_transition_block,
+    )
+
+    print("fused_transition_block:")
+    n_win, ws, CI, CO, Ht = 16, 8, 64, 128, 4
+    xt = jnp.asarray(
+        rng.normal(size=(2, n_win * ws * ws, CI)), jnp.float32
+    )
+    pt = {kk: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.05)
+          for kk, s in {
+              "ln1_g": (CI,), "ln1_b": (CI,), "wproj": (CI, CO),
+              "bproj": (CO,), "wqkv": (CI, 3 * CO), "bqkv": (3 * CO,),
+              "wattn": (CO, CO), "battn": (CO,), "ln2_g": (CO,),
+              "ln2_b": (CO,), "w1": (CO, 4 * CO), "b1": (4 * CO,),
+              "w2": (4 * CO, CO), "b2": (CO,),
+          }.items()}
+    pt["ln1_g"] = pt["ln1_g"] + 1.0
+    pt["ln2_g"] = pt["ln2_g"] + 1.0
+    ref_t = lambda x_, p_: _reference_transition(
+        x_, p_, num_heads=Ht, ws=ws, eps=1e-6, scale=1 / np.sqrt(CO // Ht)
+    )
+    close(
+        "forward",
+        fused_transition_block(xt, pt, num_heads=Ht, ws=ws),
+        ref_t(xt, pt), 1e-2,
+    )
+    gf = jax.jit(jax.grad(
+        lambda p_, x_: jnp.sum(
+            fused_transition_block(x_, p_, num_heads=Ht, ws=ws) ** 2
+        )
+    ))(pt, xt)
+    gr = jax.jit(jax.grad(lambda p_, x_: jnp.sum(ref_t(x_, p_) ** 2)))(pt, xt)
+    for kk in pt:
+        close(f"grad {kk}", gf[kk], gr[kk], 1e-2)
+
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)

@@ -259,3 +259,94 @@ def test_split_block_gradients_match_reference():
             np.asarray(gp[k]), np.asarray(gp_ref[k]), rtol=2e-3, atol=2e-3,
             err_msg=k,
         )
+
+
+def _trans_params(rng, CI, CO, F):
+    p = {
+        "ln1_g": rng.normal(size=(CI,)) * 0.1 + 1,
+        "ln1_b": rng.normal(size=(CI,)) * 0.1,
+        "wproj": rng.normal(size=(CI, CO)) * 0.1,
+        "bproj": rng.normal(size=(CO,)) * 0.1,
+        "wqkv": rng.normal(size=(CI, 3 * CO)) * 0.1,
+        "bqkv": rng.normal(size=(3 * CO,)) * 0.1,
+        "wattn": rng.normal(size=(CO, CO)) * 0.1,
+        "battn": rng.normal(size=(CO,)) * 0.1,
+        "ln2_g": rng.normal(size=(CO,)) * 0.1 + 1,
+        "ln2_b": rng.normal(size=(CO,)) * 0.1,
+        "w1": rng.normal(size=(CO, F)) * 0.1,
+        "b1": rng.normal(size=(F,)) * 0.1,
+        "w2": rng.normal(size=(F, CO)) * 0.1,
+        "b2": rng.normal(size=(CO,)) * 0.1,
+    }
+    return {k: jnp.asarray(v.astype(np.float32)) for k, v in p.items()}
+
+
+def test_transition_interpret_matches_reference():
+    from rga3_tpu.ops.fused_block import (
+        _reference_transition, fused_transition_block,
+    )
+
+    rng = np.random.default_rng(3)
+    B, n_win, ws, CI, CO, H = 2, 4, 4, 32, 64, 4
+    L = n_win * ws * ws
+    x = jnp.asarray(rng.normal(size=(B, L, CI)).astype(np.float32))
+    p = _trans_params(rng, CI, CO, 4 * CO)
+    ref = _reference_transition(
+        x, p, num_heads=H, ws=ws, eps=1e-6, scale=1 / np.sqrt(CO // H)
+    )
+    assert ref.shape == (B, n_win * (ws // 2) ** 2, CO)
+    for k_w in (1, 2, 4):  # unmasked and masked multi-window blocks
+        got = fused_transition_block(
+            x, p, num_heads=H, ws=ws, interpret=True, block_windows=k_w
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_fused_transition_matches_flax_block():
+    """New fused-transition branch == the unfused q-pool path, with an
+    identical parameter tree (checkpoint compatibility)."""
+    rng = np.random.default_rng(4)
+    B, side, CI, CO, H, ws = 2, 16, 32, 64, 4, 4
+    base = tiny_sam2_config().hiera
+    cfg_on = dataclasses.replace(base, use_fused_block=True)
+    cfg_off = dataclasses.replace(
+        base, use_fused_block=False, use_window_kernel=False
+    )
+    x2d = jnp.asarray(
+        rng.normal(size=(B, side, side, CI)).astype(np.float32)
+    )
+    mk = lambda c: MultiScaleBlock(
+        c, dim=CI, dim_out=CO, num_heads=H, window_size=ws, do_q_pool=True
+    )
+    params = mk(cfg_on).init(jax.random.PRNGKey(5), x2d)
+    p_off = mk(cfg_off).init(jax.random.PRNGKey(5), x2d)
+    assert jax.tree.map(lambda a: a.shape, params) == jax.tree.map(
+        lambda a: a.shape, p_off
+    )
+    on = mk(cfg_on).apply(params, x2d)
+    off = mk(cfg_off).apply(params, x2d)
+    assert on.shape == (B, side // 2, side // 2, CO)
+    np.testing.assert_allclose(
+        np.asarray(on), np.asarray(off), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_transition_is_differentiable():
+    rng = np.random.default_rng(5)
+    B, side, CI, CO, H, ws = 1, 8, 16, 32, 2, 4
+    cfg = dataclasses.replace(tiny_sam2_config().hiera, use_fused_block=True)
+    blk = MultiScaleBlock(
+        cfg, dim=CI, dim_out=CO, num_heads=H, window_size=ws, do_q_pool=True
+    )
+    x2d = jnp.asarray(rng.normal(size=(B, side, side, CI)).astype(np.float32))
+    params = blk.init(jax.random.PRNGKey(6), x2d)
+
+    def loss(p, xx):
+        return jnp.sum(blk.apply(p, xx) ** 2)
+
+    g = jax.grad(loss)(params, x2d)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
