@@ -145,10 +145,16 @@ def main():
     print(f"# compile+first {time.time()-t0:.1f}s", file=sys.stderr)
 
     best = 0.0
+    K = 3  # async back-to-back dispatches, one fetch: amortizes the
+    # relay's ~32 ms scalar round-trip out of the per-sample time
     for _ in range(args.samples):
         t0 = time.time()
-        np.asarray(run())
-        best = max(best, B / (time.time() - t0))
+        acc = None
+        for _i in range(K):
+            toks = run()
+            acc = toks if acc is None else acc + toks
+        np.asarray(acc)
+        best = max(best, (K * B) / (time.time() - t0))
 
     # Analytic model FLOPs (the pipeline spans several jitted fns, so XLA
     # cost analysis of one compiled graph can't cover it): 2*P per token —

@@ -83,10 +83,16 @@ def main():
     float(np.asarray(run(params, frames, lang)))  # compile + first run
     print(f"# compile+first {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    def sample() -> float:
+    def sample(iters: int = 4) -> float:
+        # queue several async dispatches, fetch ONE combined scalar: the
+        # relay's ~32 ms scalar round-trip otherwise inflates every sample
         t0 = time.perf_counter()
-        float(np.asarray(run(params, frames + 1, lang)))
-        return T / (time.perf_counter() - t0)
+        acc = None
+        for i in range(iters):
+            s = run(params, frames + i, lang)
+            acc = s if acc is None else acc + s
+        float(np.asarray(acc))
+        return (iters * T) / (time.perf_counter() - t0)
 
     fps = max(sample() for _ in range(args.samples))
     print(json.dumps({
