@@ -27,7 +27,10 @@ int32_t rle_decode(const int64_t* counts, int64_t n_counts, int64_t h,
   uint8_t val = 0;
   for (int64_t i = 0; i < n_counts; ++i) {
     const int64_t c = counts[i];
-    if (pos + c > total) {
+    // c < 0 can reach here from malformed compressed strings (delta
+    // decoding in rle_from_string); memset with a negative count would
+    // be a ~2^64-sized out-of-bounds write.
+    if (c < 0 || pos + c > total) {
       delete[] cm;
       return -1;
     }

@@ -54,6 +54,12 @@ def make_kv_cache(
         # cache between a short row's last token and the decode appends;
         # decode attention masks them via this plane
         "seg": jnp.zeros((batch, max_len), jnp.int32),
+        # structural marker (the KEY, not the value, carries the bit —
+        # pytree structure is static under jit): this cache is empty, so
+        # a multi-token call may take the flash prefill fast path.
+        # Forward passes drop the key from the cache they return, which
+        # routes chunked prefills into the general masked path.
+        "fresh": jnp.zeros((), jnp.int32),
     }
 
 
@@ -125,6 +131,7 @@ class Attention(nn.Module):
         layer_cache: Optional[Dict[str, jnp.ndarray]] = None,
         cache_idx: Optional[jnp.ndarray] = None,
         cache_seg: Optional[jnp.ndarray] = None,  # (B, max_len) 0 = pad
+        fresh_cache: bool = False,  # static: cache known empty (idx == 0)
     ):
         cfg = self.cfg
         b, l, _ = x.shape
@@ -185,12 +192,14 @@ class Attention(nn.Module):
                 cv, v.astype(cv.dtype), (0, cache_idx, 0, 0)
             )
             new_cache = (ck, cv)
-            if l > 1:
-                # Prefill into a fresh cache (every caller prefills at
-                # idx 0 — generate.py:87, bench_decode.py:93): the filled
-                # prefix IS the appended block, so attention reduces to
-                # causal flash over (q, k, v) — no (B, H, L, max_len)
-                # fp32 logits materialization.
+            if l > 1 and fresh_cache:
+                # Prefill into a cache statically known to be empty (the
+                # "fresh" marker make_kv_cache plants and forward passes
+                # strip): the filled prefix IS the appended block, so
+                # attention reduces to causal flash over (q, k, v) — no
+                # (B, H, L, max_len) fp32 logits materialization. A
+                # chunked prefill (cache_idx > 0) has no marker and takes
+                # the general masked path below.
                 out = flash_attention(
                     q, k, v, causal=True, segment_ids=segment_ids
                 )
@@ -248,10 +257,11 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, segment_ids, layer_cache, cache_idx,
-                 cache_seg=None):
+                 cache_seg=None, fresh_cache=False):
         attn_out, new_cache = Attention(self.cfg, name="self_attn")(
             RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x),
             cos, sin, segment_ids, layer_cache, cache_idx, cache_seg,
+            fresh_cache,
         )
         x = x + attn_out
         x = x + MLP(self.cfg, name="mlp")(
@@ -281,6 +291,9 @@ class QwenLM(nn.Module):
         )
         x = inputs_embeds
         cache_idx = None if cache is None else cache["idx"]
+        # static bit: the cache pytree still carries make_kv_cache's
+        # "fresh" marker (never copied into returned caches)
+        fresh_cache = cache is not None and "fresh" in cache
 
         # maintain the per-row key-validity plane alongside the K/V cache
         # (pads from right-padded prefills must stay masked during decode)
@@ -298,7 +311,8 @@ class QwenLM(nn.Module):
 
         if cfg.scan_layers:
             x, new_cache = self._scan_layers(
-                x, cos, sin, segment_ids, cache, cache_idx, cache_seg
+                x, cos, sin, segment_ids, cache, cache_idx, cache_seg,
+                fresh_cache,
             )
         else:
             new_k, new_v = [], []
@@ -313,7 +327,7 @@ class QwenLM(nn.Module):
                     layer_cache = {"k": cache["k"][i], "v": cache["v"][i]}
                 x, updated = layer_cls(cfg, name=f"layers_{i}")(
                     x, cos, sin, segment_ids, layer_cache, cache_idx,
-                    cache_seg,
+                    cache_seg, fresh_cache,
                 )
                 if cache is not None:
                     new_k.append(updated[0])
@@ -335,7 +349,7 @@ class QwenLM(nn.Module):
         return x, new_cache
 
     def _scan_layers(self, x, cos, sin, segment_ids, cache, cache_idx,
-                     cache_seg=None):
+                     cache_seg=None, fresh_cache=False):
         cfg = self.cfg
 
         class ScannedLayer(nn.Module):
@@ -351,7 +365,7 @@ class QwenLM(nn.Module):
                     )
                 out, updated = layer(self.cfg_, name="layer")(
                     carry, cos, sin, segment_ids, layer_cache, cache_idx,
-                    cache_seg,
+                    cache_seg, fresh_cache,
                 )
                 if layer_cache is None:
                     return out, None

@@ -262,11 +262,21 @@ def track_video(
         params, tile(s2[0]), out0["high_res_masks"].transpose(0, 2, 3, 1),
         method=Sam2Model.encode_new_memory,
     )
-    state = MemoryBank.init(cfg, batch=n_obj, dtype=mem0.dtype)
-    state["cond_feat"] = mem0.reshape(n_obj, s * s, cfg.mem_dim)
-    state["cond_ptr"] = out0["obj_ptr"]
+    # The bank rides the trunk feature dtype (bf16 under a bf16 compute
+    # path, f32 in parity tests). Without these casts the f32 mask logits
+    # (model.py forward_sam_heads) promote the memory-encoder output, the
+    # obj pointers, and therefore the whole 28.7k-key cross-attention
+    # K/V to f32.
+    bank_dtype = s2.dtype
+    state = MemoryBank.init(cfg, batch=n_obj, dtype=bank_dtype)
+    state["cond_feat"] = mem0.reshape(n_obj, s * s, cfg.mem_dim).astype(
+        bank_dtype
+    )
+    state["cond_ptr"] = out0["obj_ptr"].astype(bank_dtype)
     state["cond_valid"] = jnp.ones((), bool)
-    mem_pos_spatial = mem_pos0.reshape(s * s, cfg.mem_dim)
+    mem_pos_spatial = mem_pos0.reshape(s * s, cfg.mem_dim).astype(
+        bank_dtype
+    )
 
     def step(state, inputs):
         idx, f0, f1, f2, p2 = inputs
@@ -290,7 +300,9 @@ def track_video(
         n_ring = cfg.num_maskmem - 1
         n_ptr = cfg.max_obj_ptrs_in_encoder - 1
         r_stride = cfg.memory_temporal_stride_for_eval
-        memf = memf.reshape(n_obj, s * s, cfg.mem_dim)
+        memf = memf.reshape(n_obj, s * s, cfg.mem_dim).astype(
+            state["prev_feat"].dtype
+        )
         state = dict(state)
         state["prev_feat"] = memf
         state["prev_frame"] = idx
@@ -304,7 +316,9 @@ def track_video(
             jnp.where(aligned, idx, state["ring_frame"][slot])
         )
         pslot = jnp.mod(idx, n_ptr)
-        state["ptr_ring"] = state["ptr_ring"].at[pslot].set(out["obj_ptr"])
+        state["ptr_ring"] = state["ptr_ring"].at[pslot].set(
+            out["obj_ptr"].astype(state["ptr_ring"].dtype)
+        )
         state["ptr_frame"] = state["ptr_frame"].at[pslot].set(idx)
         return state, (out["high_res_masks"][:, 0], out["obj_ptr"])
 

@@ -99,15 +99,24 @@ def main():
         grids = [grid] * B
         n_patches = B * grid[0] * grid[1] * grid[2]
         n_merged = (grid[0] * grid[1] * grid[2]) // vcfg.merge_unit
-        assert n_merged < L // 2, "seq too short for the video budget"
         layout_args = layout_device_args(
             compute_vision_layout(grids, vcfg), vcfg
         )
         vid_start = L // 4
-        ids[:, vid_start : vid_start + n_merged] = VIDEO_PAD_TOKEN_ID
-        ids[:, L // 2] = SEG  # keep the [SEG] site after the overlay
+        seg_pos = vid_start + n_merged  # first token AFTER the video span
+        assert seg_pos < L - 1, "seq too short for the video budget"
+        ids[:, L // 2] = 1  # drop the text-only [SEG] site (re-punched
+        # below; if L//2 lands outside the video span it would otherwise
+        # leave a second [SEG] in the sequence)
+        ids[:, vid_start:seg_pos] = VIDEO_PAD_TOKEN_ID
+        # [SEG] must sit outside the contiguous video span: a SEG inside
+        # it would split the 320-token run (shifting every later vision
+        # embedding by one cell and giving SEG a vision M-RoPE position)
+        ids[:, seg_pos] = SEG
         labels = ids.copy()
         labels[:, : L // 4] = -100
+        labels[:, vid_start:seg_pos] = -100  # vision tokens are never
+        # CE targets (collate masks everything but assistant spans)
         pos, _ = get_rope_index(
             qcfg, ids, video_grid_thw=grids,
             second_per_grid_ts=[1.0] * B,

@@ -41,6 +41,17 @@ def test_rle_uncompressed_counts():
     np.testing.assert_array_equal(m, expect)
 
 
+def test_rle_negative_counts_do_not_crash():
+    """Malformed compressed strings can delta-decode to negative counts;
+    the native codec must reject them (fall back to numpy) rather than
+    memset with a negative (-> ~2^64) size."""
+    m = rle.decode({"size": [4, 4], "counts": [3, -2, 5, 2]})
+    assert m.shape == (4, 4)
+    # numpy fallback semantics: negative run is an empty slice and walks
+    # `pos` backwards; the decode stays in-bounds and returns a mask
+    assert m.dtype == np.uint8
+
+
 def test_rle_bbox():
     m = np.zeros((10, 10), np.uint8)
     m[2:5, 3:8] = 1

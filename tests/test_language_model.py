@@ -45,6 +45,24 @@ def test_cached_decode_matches_full_forward():
     )
 
 
+def test_chunked_prefill_matches_full_forward():
+    """A second multi-token chunk into a USED cache must attend to the
+    cached prefix: the flash fast path is only legal on a fresh cache
+    (the structural "fresh" marker), chunked prefill takes the masked
+    path."""
+    cfg, model, params, ids = _build()
+    full = model.apply(params, input_ids=ids)
+
+    cache = make_kv_cache(cfg, batch=2, max_len=16, dtype=jnp.float32)
+    out1 = model.apply(params, input_ids=ids[:, :4], cache=cache)
+    assert "fresh" not in out1["cache"]
+    out2 = model.apply(params, input_ids=ids[:, 4:10], cache=out1["cache"])
+    stepped = jnp.concatenate([out1["logits"], out2["logits"]], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(stepped), np.asarray(full["logits"]), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_segment_ids_isolate_padding():
     cfg, model, params, ids = _build()
     seg = jnp.asarray([[1] * 7 + [0] * 3, [1] * 10], jnp.int32)

@@ -87,6 +87,39 @@ def test_track_video_runs_and_uses_memory(sam2):
     assert diff > 1e-7
 
 
+def test_track_video_memory_bank_rides_compute_dtype(sam2):
+    """The f32 mask logits must not promote the memory bank (the 28.7k-key
+    cross-attention K/V at full scale): with bf16 params+frames the bank
+    must be bf16, and tracking must still run."""
+    import rga3_tpu.models.sam2.video as video_mod
+
+    cfg, model, params, frames, lang = sam2
+    bparams = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32 else x,
+        params,
+    )
+    seen = {}
+    orig = video_mod.MemoryBank.init
+
+    def spy(cfg_, batch, dtype):
+        seen["dtype"] = dtype
+        return orig(cfg_, batch=batch, dtype=dtype)
+
+    video_mod.MemoryBank.init = staticmethod(spy)
+    try:
+        out = video_mod.track_video(
+            model, bparams, frames.astype(jnp.bfloat16),
+            language_embd=lang[:1].astype(jnp.bfloat16),
+        )
+    finally:
+        video_mod.MemoryBank.init = orig
+    assert seen["dtype"] == jnp.bfloat16
+    assert np.isfinite(
+        np.asarray(out["high_res_masks"], np.float32)
+    ).all()
+
+
 @pytest.mark.slow
 def test_track_video_multi_object(sam2):
     """O objects tracked in one batched scan: per-object banks, shared
