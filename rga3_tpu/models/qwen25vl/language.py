@@ -64,16 +64,21 @@ def make_kv_cache(
 
 
 class QuantDense(nn.Module):
-    """Weight-only int8 Dense (ops.quant layout): int8 kernel in HBM,
-    dequantized in-register with a per-output-channel scale. Halves the
-    weight bytes that bound KV-cached decode."""
+    """Weight-only quantized Dense (ops.quant layout). bits=8: int8
+    kernel + per-output-channel scale. bits=4: nibble-packed int4 kernel
+    + group-wise scales. Either way the kernel is dequantized in-register
+    at matmul time; HBM weight traffic drops 2x / 4x vs bf16 (what bounds
+    KV-cached decode)."""
 
     features: int
     use_bias: bool = False
     kernel_axes: Tuple[str, ...] = ()
+    bits: int = 8
 
     @nn.compact
     def __call__(self, x):
+        from ...ops.quant import int4_group, int4_matmul, int8_matmul
+
         if self.kernel_axes:
             k_init = nn.with_logical_partitioning(
                 nn.initializers.zeros, self.kernel_axes
@@ -81,18 +86,31 @@ class QuantDense(nn.Module):
             s_init = nn.with_logical_partitioning(
                 nn.initializers.ones, self.kernel_axes[-1:]
             )
+            sg_init = nn.with_logical_partitioning(
+                nn.initializers.ones, (None, self.kernel_axes[-1])
+            )
         else:  # vision tower layers carry no logical axes
             k_init = nn.initializers.zeros
             s_init = nn.initializers.ones
-        wq = self.param(
-            "kernel_q", k_init, (x.shape[-1], self.features), jnp.int8
-        )
-        scale = self.param(
-            "scale", s_init, (self.features,), jnp.float32
-        )
-        from ...ops.quant import int8_matmul
-
-        y = int8_matmul(x, wq, scale)
+            sg_init = nn.initializers.ones
+        in_dim = x.shape[-1]
+        if self.bits == 4:
+            wq = self.param(
+                "kernel_q4", k_init, (in_dim // 2, self.features), jnp.int8
+            )
+            scale = self.param(
+                "scale_g", sg_init,
+                (in_dim // int4_group(in_dim), self.features), jnp.float32,
+            )
+            y = int4_matmul(x, wq, scale)
+        else:
+            wq = self.param(
+                "kernel_q", k_init, (in_dim, self.features), jnp.int8
+            )
+            scale = self.param(
+                "scale", s_init, (self.features,), jnp.float32
+            )
+            y = int8_matmul(x, wq, scale)
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
@@ -102,9 +120,14 @@ class QuantDense(nn.Module):
 
 
 def _dense_or_quant(cfg, name, features, use_bias, kernel_axes, dtype):
-    if cfg.quant_int8:
+    int4 = getattr(cfg, "quant_int4", False)
+    if cfg.quant_int8 or int4:
+        assert not (cfg.quant_int8 and int4), (
+            "quant_int8 and quant_int4 are mutually exclusive"
+        )
         return QuantDense(
-            features, use_bias=use_bias, kernel_axes=kernel_axes, name=name
+            features, use_bias=use_bias, kernel_axes=kernel_axes, name=name,
+            bits=4 if int4 else 8,
         )
     return nn.Dense(
         features,
@@ -411,11 +434,12 @@ class QwenForCausalLM(nn.Module):
         )
         self.model = QwenLM(self.cfg, remat=self.remat, name="model")
         if not self.cfg.tie_word_embeddings:
-            if self.cfg.quant_int8:
+            if self.cfg.quant_int8 or self.cfg.quant_int4:
                 self.lm_head = QuantDense(
                     self.cfg.vocab_size,
                     kernel_axes=("embed", "vocab"),
                     name="lm_head",
+                    bits=4 if self.cfg.quant_int4 else 8,
                 )
             else:
                 self.lm_head = nn.Dense(

@@ -1,6 +1,7 @@
-"""Int8 weight-only quantization (the reference's optional bitsandbytes
-4/8-bit inference path, TPU-native — ref:
-evaluation/mevis_val_u/inference_mevis.py:70-93 `load_in_8bit`).
+"""Int8/int4 weight-only quantization (the reference's optional
+bitsandbytes 4/8-bit inference path, TPU-native — ref:
+evaluation/mevis_val_u/inference_mevis.py:70-93 `load_in_8bit` /
+`load_in_4bit`).
 
 Weight-only, symmetric, per-output-channel: kernels are stored int8 in HBM
 (halving the weight traffic that bounds KV-cached decode) and dequantized
@@ -40,6 +41,67 @@ def int8_matmul(
     return y * scale.astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Int4 weight-only (the reference's `load_in_4bit` counterpart): two
+# nibbles packed per int8 byte along the input dim, symmetric [-7, 7]
+# with group-wise scales (per-output-channel int4 loses too much; the
+# group dim rides the input axis like GPTQ/bnb blockwise scales).
+# ---------------------------------------------------------------------------
+
+INT4_GROUP = 32  # input-dim rows per scale group (the llama.cpp Q4_0
+# blocksize; measured ~15% lower output error than group-128 on Gaussian
+# weights at 0.125 extra bytes/weight of f32 scales)
+
+
+def int4_group(in_dim: int) -> int:
+    """Scale-group size for a given input dim: 32 when it divides,
+    otherwise the whole dim (per-channel) — must match between
+    quantize-time and apply-time."""
+    return INT4_GROUP if in_dim % INT4_GROUP == 0 else in_dim
+
+
+def quantize_int4(
+    w: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., in, out) float kernel -> packed int4 (..., in//2, out) +
+    (..., in//group, out) f32 group scales. in must be even."""
+    *lead, in_dim, out = w.shape
+    g = int4_group(in_dim)
+    wf = w.astype(jnp.float32).reshape(*lead, in_dim // g, g, out)
+    amax = jnp.max(jnp.abs(wf), axis=-2)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(
+        jnp.round(wf / scale[..., None, :]), -7, 7
+    ).astype(jnp.int8).reshape(*lead, in_dim, out)
+    # pack row pairs: even row -> low nibble, odd row -> high nibble
+    pairs = q.reshape(*lead, in_dim // 2, 2, out)
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(pairs[..., 0, :], 15),
+        jnp.left_shift(pairs[..., 1, :], 4),
+    ).astype(jnp.int8)
+    return packed, scale.astype(jnp.float32)
+
+
+def int4_matmul(
+    x: jnp.ndarray, kernel_q4: jnp.ndarray, scale_g: jnp.ndarray
+) -> jnp.ndarray:
+    """x (..., in) @ dequant(packed (in//2, out), scales (groups, out)).
+    Unpack + group-scale are elementwise producers XLA fuses into the
+    dot operand — HBM reads stay at the packed int4 + scale bytes."""
+    half, out = kernel_q4.shape[-2:]
+    in_dim = half * 2
+    g = int4_group(in_dim)
+    low = jnp.right_shift(jnp.left_shift(kernel_q4, 4), 4)  # arithmetic
+    high = jnp.right_shift(kernel_q4, 4)  # sign-extends
+    w = jnp.stack([low, high], axis=-2).reshape(
+        *kernel_q4.shape[:-2], in_dim, out
+    )
+    wf = w.astype(x.dtype).reshape(
+        *kernel_q4.shape[:-2], in_dim // g, g, out
+    ) * scale_g[..., None, :].astype(x.dtype)
+    return x @ wf.reshape(*kernel_q4.shape[:-2], in_dim, out)
+
+
 # Dense submodules of the LM that get quantized (q/k/v/o, MLP, lm_head).
 # Embeddings (gather-only) and LoRA adapters stay in float.
 QWEN_QUANT_KEYS = (
@@ -57,13 +119,16 @@ def quantize_qwen_params(
     params: Dict[str, Any],
     keys: Sequence[str] = QWEN_QUANT_KEYS,
     include_vision: bool = False,
+    bits: int = 8,
 ) -> Dict[str, Any]:
     """Walk a QwenForCausalLM params tree and replace each targeted Dense
-    `{kernel}` with `{kernel_q, scale}`. Works for both unrolled
-    (`layers_i`) and scanned (`layers_scan`, stacked kernels) layouts;
-    biases are kept as-is. Use with QwenTextConfig(quant_int8=True)."""
+    `{kernel}` with `{kernel_q, scale}` (bits=8) or `{kernel_q4, scale_g}`
+    (bits=4). Works for both unrolled (`layers_i`) and scanned
+    (`layers_scan`, stacked kernels) layouts; biases are kept as-is. Use
+    with QwenTextConfig(quant_int8=True) / (quant_int4=True)."""
     from flax.core import meta
 
+    assert bits in (4, 8), bits
     params = meta.unbox(params)
     if include_vision:
         keys = tuple(keys) + VISION_QUANT_KEYS
@@ -71,15 +136,36 @@ def quantize_qwen_params(
     def walk(node, name):
         if isinstance(node, dict):
             if name in keys and "kernel" in node:
-                q, scale = quantize_int8(jnp.asarray(node["kernel"]))
                 out = {k: v for k, v in node.items() if k != "kernel"}
-                out["kernel_q"] = q
-                out["scale"] = scale
+                if bits == 8:
+                    q, scale = quantize_int8(jnp.asarray(node["kernel"]))
+                    out["kernel_q"] = q
+                    out["scale"] = scale
+                else:
+                    q4, sg = quantize_int4(jnp.asarray(node["kernel"]))
+                    out["kernel_q4"] = q4
+                    out["scale_g"] = sg
                 return out
             return {k: walk(v, k) for k, v in node.items()}
         return node
 
     return walk(params, "")
+
+
+def quantize_for_serving(
+    qwen_params: Dict[str, Any], mode: str
+) -> Dict[str, Any]:
+    """One-call serving transform for a Qwen(VL) subtree.
+
+    mode "int8": int8 LM + int8 vision tower. mode "int4": int4 LM +
+    int8 vision tower (the LM weights dominate decode HBM traffic;
+    vision stays int8 for quality). Matches QwenTextConfig
+    quant_int8/quant_int4 + QwenVisionConfig quant_int8."""
+    if mode == "int8":
+        return quantize_qwen_params(qwen_params, include_vision=True)
+    assert mode == "int4", mode
+    p8 = quantize_qwen_params(qwen_params, keys=VISION_QUANT_KEYS, bits=8)
+    return quantize_qwen_params(p8, keys=QWEN_QUANT_KEYS, bits=4)
 
 
 def dequantize_qwen_params(params: Dict[str, Any]) -> Dict[str, Any]:
@@ -97,6 +183,25 @@ def dequantize_qwen_params(params: Dict[str, Any]) -> Dict[str, Any]:
                     np.asarray(node["kernel_q"], np.float32)
                     * np.asarray(node["scale"], np.float32)[..., None, :]
                 )
+                return out
+            if "kernel_q4" in node and "scale_g" in node:
+                out = {
+                    k: v for k, v in node.items()
+                    if k not in ("kernel_q4", "scale_g")
+                }
+                p = np.asarray(node["kernel_q4"], np.int8)
+                low = np.right_shift(np.left_shift(p, 4), 4)
+                high = np.right_shift(p, 4)
+                *lead, half, o = p.shape
+                in_dim = half * 2
+                w = np.stack([low, high], axis=-2).reshape(
+                    *lead, in_dim, o
+                ).astype(np.float32)
+                g = int4_group(in_dim)
+                sg = np.asarray(node["scale_g"], np.float32)
+                out["kernel"] = (
+                    w.reshape(*lead, in_dim // g, g, o) * sg[..., None, :]
+                ).reshape(*lead, in_dim, o)
                 return out
             return {k: walk(v) for k, v in node.items()}
         return node

@@ -31,7 +31,13 @@ def main():
         "--int8", action="store_true",
         help="weight-only int8 (ops.quant): halves weight HBM traffic",
     )
+    p.add_argument(
+        "--int4", action="store_true",
+        help="weight-only int4 (nibble-packed, group-128 scales): "
+        "quarters weight HBM traffic",
+    )
     args = p.parse_args()
+    assert not (args.int8 and args.int4), "--int8 and --int4 are exclusive"
 
     import jax
     import jax.numpy as jnp
@@ -49,10 +55,13 @@ def main():
         "3b": QWEN25_VL_3B,
         "7b": QWEN25_VL_7B,
     }[args.size]
-    cfg = qcfg.text.replace(scan_layers=True, quant_int8=args.int8)
+    cfg = qcfg.text.replace(
+        scan_layers=True, quant_int8=args.int8, quant_int4=args.int4
+    )
     model = QwenForCausalLM(cfg)
-    init_cfg = cfg.replace(quant_int8=False)
-    init_model = QwenForCausalLM(init_cfg) if args.int8 else model
+    quant = args.int8 or args.int4
+    init_cfg = cfg.replace(quant_int8=False, quant_int4=False)
+    init_model = QwenForCausalLM(init_cfg) if quant else model
 
     rng = np.random.default_rng(0)
     B, L, D = args.batch, args.prefill, args.decode
@@ -75,10 +84,14 @@ def main():
             ),
             meta.unbox(shapes),
         )
-        if args.int8:
+        if quant:
             from rga3_tpu.ops.quant import quantize_qwen_params
 
-            return {"params": quantize_qwen_params(fp["params"])}
+            return {
+                "params": quantize_qwen_params(
+                    fp["params"], bits=4 if args.int4 else 8
+                )
+            }
         return fp
 
     t0 = time.time()
@@ -143,6 +156,7 @@ def main():
 
     print(json.dumps({
         "size": args.size,
+        "quant": "int4" if args.int4 else ("int8" if args.int8 else "bf16"),
         "prefill_tokens_per_sec": round(B * L / t_prefill, 1),
         "decode_tokens_per_sec": round(B * D / t_decode, 1),
         "prefill_ms": round(t_prefill * 1000, 1),

@@ -28,6 +28,9 @@ def main():
     p.add_argument("--decode", type=int, default=64)
     p.add_argument("--text-tokens", type=int, default=64)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 weight-only LM + int8 vision tower (the "
+                   "LM weights dominate; vision stays int8 for quality)")
     p.add_argument("--samples", type=int, default=5)
     p.add_argument("--batch", type=int, default=1,
                    help="samples per batched prefill+decode (the\n"
@@ -53,10 +56,13 @@ def main():
     qcfg = {
         "tiny": tiny_config(), "3b": QWEN25_VL_3B, "7b": QWEN25_VL_7B,
     }[args.size]
+    assert not (args.int8 and args.int4), "--int8 and --int4 are exclusive"
     qcfg = qcfg.replace(
-        text=qcfg.text.replace(scan_layers=True, quant_int8=args.int8),
+        text=qcfg.text.replace(
+            scan_layers=True, quant_int8=args.int8, quant_int4=args.int4
+        ),
         vision=qcfg.vision.replace(
-            scan_blocks=True, quant_int8=args.int8
+            scan_blocks=True, quant_int8=args.int8 or args.int4
         ),
     )
     model = Qwen25VL(qcfg)
@@ -92,7 +98,7 @@ def main():
 
     # random bf16 params on device; int8 tree transform afterwards
     init_cfg = qcfg.replace(
-        text=qcfg.text.replace(quant_int8=False),
+        text=qcfg.text.replace(quant_int8=False, quant_int4=False),
         vision=qcfg.vision.replace(quant_int8=False),
     )
     init_model = Qwen25VL(init_cfg)
@@ -112,6 +118,19 @@ def main():
             ),
             meta.unbox(shapes),
         )
+        if args.int4:
+            from rga3_tpu.ops.quant import (
+                QWEN_QUANT_KEYS, VISION_QUANT_KEYS, quantize_qwen_params,
+            )
+
+            p8 = quantize_qwen_params(
+                fp["params"], keys=VISION_QUANT_KEYS, bits=8
+            )
+            return {
+                "params": quantize_qwen_params(
+                    p8, keys=QWEN_QUANT_KEYS, bits=4
+                )
+            }
         if args.int8:
             from rga3_tpu.ops.quant import quantize_qwen_params
 
@@ -175,6 +194,7 @@ def main():
         "size": args.size,
         "batch": args.batch,
         "int8": args.int8,
+        "int4": args.int4,
         "video_tokens": n_merged,
         "new_tokens": args.decode,
         "value": round(best, 3),

@@ -35,6 +35,8 @@ def main():
     )
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 weight-only LLM + int8 vision tower")
     p.add_argument("--out", required=True)
     args = p.parse_args()
 
@@ -49,6 +51,7 @@ def main():
     a.model_size = args.model_size
     a.num_frames_mllm = 1
     a.int8 = args.int8
+    a.int4 = args.int4
     seg = build_segmentor(a)
 
     from rga3_tpu.evaluation.image_seg_eval import (

@@ -107,6 +107,8 @@ def main():
                    "(weight-bound decode: near-linear eval speedup)")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only LLM + vision tower (ops.quant)")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 weight-only LLM + int8 vision tower")
     args = p.parse_args()
 
     from rga3_tpu.evaluation import videoinfer_eval as vi
@@ -123,6 +125,7 @@ def main():
         a.model_size = args.model_size
         a.num_frames_mllm = 8
         a.int8 = args.int8
+        a.int4 = args.int4
         seg = build_segmentor(a)
 
         from rga3_tpu.evaluation.segmentor import UniGRChat

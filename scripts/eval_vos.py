@@ -42,9 +42,12 @@ def build_segmentor(args):
     qcfg = {"7b": QWEN25_VL_7B, "3b": QWEN25_VL_3B,
             "tiny": tiny_config()}[size]
     int8 = bool(getattr(args, "int8", False))
-    if int8:
+    int4 = bool(getattr(args, "int4", False))
+    assert not (int8 and int4), "--int8 and --int4 are exclusive"
+    quant_mode = "int4" if int4 else ("int8" if int8 else None)
+    if quant_mode:
         qcfg = qcfg.replace(
-            text=qcfg.text.replace(quant_int8=True),
+            text=qcfg.text.replace(quant_int8=int8, quant_int4=int4),
             vision=qcfg.vision.replace(quant_int8=True),
         )
     scfg = SAM2_HIERA_L if size != "tiny" else tiny_sam2_config()
@@ -76,7 +79,7 @@ def build_segmentor(args):
             return r.normal(0, 0.02, s.shape).astype(s.dtype)
 
         params = jax.tree.map(dummy_leaf, meta.unbox(shapes))
-        int8 = False  # dummy init already matches the (possibly
+        quant_mode = None  # dummy init already matches the (possibly
         # quantized) tree layout; nothing to convert
     else:
         params = load_unigr_params(args.model_dir)
@@ -85,13 +88,13 @@ def build_segmentor(args):
             params["params"]["grounding_encoder"] = load_sam2_params(
                 args.sam_pretrained
             )["params"]
-    if int8:
+    if quant_mode:
         # quantize ONLY the qwen subtree — SAM2's two-way attention uses
         # the same q/k/v projection names but must stay float
-        from rga3_tpu.ops.quant import quantize_qwen_params
+        from rga3_tpu.ops.quant import quantize_for_serving
 
-        params["params"]["qwen"] = quantize_qwen_params(
-            params["params"]["qwen"], include_vision=True
+        params["params"]["qwen"] = quantize_for_serving(
+            params["params"]["qwen"], quant_mode
         )
     return UniGRSegmentor(
         model, params, processor,
@@ -122,6 +125,9 @@ def main():
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only LLM + vision tower (ops.quant)")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 weight-only LLM + int8 vision tower "
+                   "(ref load_in_4bit, inference_mevis.py:70-93)")
     args = p.parse_args()
 
     from rga3_tpu.evaluation.video_seg_eval import (

@@ -8,7 +8,8 @@ import jax.numpy as jnp
 from rga3_tpu.models.qwen25vl import tiny_config
 from rga3_tpu.models.qwen25vl.language import QwenForCausalLM, make_kv_cache
 from rga3_tpu.ops.quant import (
-    dequantize_qwen_params, int8_matmul, quantize_int8, quantize_qwen_params,
+    dequantize_qwen_params, int4_matmul, int8_matmul, quantize_int4,
+    quantize_int8, quantize_qwen_params,
 )
 
 
@@ -35,6 +36,83 @@ def test_int8_matmul_close_to_dense():
         jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-9)
     )
     assert rel < 0.01, rel
+
+
+def test_quantize_int4_roundtrip_error():
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(256, 48)).astype(np.float32))
+    q4, sg = quantize_int4(w)
+    assert q4.dtype == jnp.int8 and q4.shape == (128, 48)
+    assert sg.shape == (8, 48)  # group 32 along the input dim
+    deq = dequantize_qwen_params(
+        {"q_proj": {"kernel_q4": q4, "scale_g": sg}}
+    )["q_proj"]["kernel"]
+    # symmetric 7-step: error bounded by group scale / 2
+    err = np.abs(np.asarray(deq) - np.asarray(w))
+    bound = np.repeat(np.asarray(sg), 32, axis=0) / 2 + 1e-7
+    assert (err <= bound).all()
+
+
+def test_int4_matmul_matches_dequantized_dense():
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 48)).astype(np.float32))
+    q4, sg = quantize_int4(w)
+    deq = dequantize_qwen_params(
+        {"q_proj": {"kernel_q4": q4, "scale_g": sg}}
+    )["q_proj"]["kernel"]
+    ref = x @ jnp.asarray(deq)
+    out = int4_matmul(x, q4, sg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+    # and quantization keeps the matmul near the fp result (int4 RTN on
+    # Gaussian weights: ~9% at group 32 — the worst case; real LLM
+    # weights fare better per published Q4_0 results)
+    rel = float(jnp.linalg.norm(out - x @ w) / jnp.linalg.norm(x @ w))
+    assert rel < 0.10, rel
+
+
+def test_int4_exact_on_representable_weights():
+    # weights that are exact multiples of the group scale roundtrip exactly
+    rng = np.random.default_rng(9)
+    ints = rng.integers(-7, 8, size=(128, 32)).astype(np.float32)
+    ints[0::32, :] = 7  # every scale group sees amax 7 -> scale 1/7
+    w = jnp.asarray(ints / 7.0)  # exact grid
+    q4, sg = quantize_int4(w)
+    deq = dequantize_qwen_params(
+        {"q_proj": {"kernel_q4": q4, "scale_g": sg}}
+    )["q_proj"]["kernel"]
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(w), atol=1e-7)
+
+
+@pytest.mark.slow
+def test_int4_lm_decode_end_to_end():
+    cfg = tiny_config(vocab_size=1000).text.replace(
+        scan_layers=True, quant_int4=True
+    )
+    fp_cfg = cfg.replace(quant_int4=False)
+    fp = QwenForCausalLM(fp_cfg)
+    qm = QwenForCausalLM(cfg)
+    rng = np.random.default_rng(10)
+    ids = jnp.asarray(rng.integers(0, 1000, (1, 8)), jnp.int32)
+    params = fp.init(jax.random.PRNGKey(4), input_ids=ids)
+    qparams = {"params": quantize_qwen_params(params["params"], bits=4)}
+
+    out_fp = fp.apply(params, input_ids=ids)["logits"]
+    cache = make_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    out = qm.apply(qparams, input_ids=ids, cache=cache)
+    rel = float(
+        jnp.linalg.norm(out["logits"] - out_fp)
+        / (jnp.linalg.norm(out_fp) + 1e-9)
+    )
+    # ~9% per-matmul int4 error compounds through the layer stack of a
+    # RANDOM-init net (measured ~0.31 here); the tight numeric contracts
+    # live in the per-op tests above. This pins mechanics + sanity.
+    assert rel < 0.5, rel
+    tok = jnp.argmax(out["logits"][:, -1], -1)
+    out2 = qm.apply(qparams, input_ids=tok[:, None], cache=out["cache"])
+    assert out2["logits"].shape == (1, 1, 1000)
+    assert int(out2["cache"]["idx"]) == 9
 
 
 @pytest.mark.slow
