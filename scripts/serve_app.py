@@ -21,6 +21,8 @@ def main():
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only LLM + vision tower (ops.quant)")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 weight-only LLM + int8 vision tower")
     args = p.parse_args()
 
     from rga3_tpu.serve.app import UniGRService, serve
@@ -38,6 +40,7 @@ def main():
         a.model_size = args.model_size
         a.num_frames_mllm = 8
         a.int8 = args.int8
+        a.int4 = args.int4
         segmentor = build_segmentor(a)
 
         from rga3_tpu.evaluation.segmentor import UniGRChat
