@@ -56,6 +56,12 @@ class HieraConfig(ConfigBase):
     # MLP) for windowed blocks wider than fused_block_max_dim (stage 4,
     # D=1152, whose 32 MB of weights cannot stay VMEM-resident)
     use_split_fused_block: bool = True
+    # fused kernel for the 3 q-pool stage-transition blocks
+    # (ops/fused_block.fused_transition_block). Default OFF: the kernel
+    # is interpret-mode tested but NOT yet validated on real TPU (relay
+    # outage) — flip after scripts/tpu_checks.py passes on chip and the
+    # A/B shows a win.
+    use_fused_transition: bool = False
 
     @property
     def depth(self) -> int:

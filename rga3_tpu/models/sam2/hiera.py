@@ -78,6 +78,7 @@ class MultiScaleBlock(nn.Module):
             and self.dim != self.dim_out
             and ws > 0
             and cfg.use_fused_block
+            and cfg.use_fused_transition
             and cfg.q_stride == (2, 2)
             and x.shape[1] % ws == 0
             and x.shape[2] % ws == 0

@@ -310,7 +310,9 @@ def test_fused_transition_matches_flax_block():
     rng = np.random.default_rng(4)
     B, side, CI, CO, H, ws = 2, 16, 32, 64, 4, 4
     base = tiny_sam2_config().hiera
-    cfg_on = dataclasses.replace(base, use_fused_block=True)
+    cfg_on = dataclasses.replace(
+        base, use_fused_block=True, use_fused_transition=True
+    )
     cfg_off = dataclasses.replace(
         base, use_fused_block=False, use_window_kernel=False
     )
@@ -336,7 +338,10 @@ def test_fused_transition_matches_flax_block():
 def test_fused_transition_is_differentiable():
     rng = np.random.default_rng(5)
     B, side, CI, CO, H, ws = 1, 8, 16, 32, 2, 4
-    cfg = dataclasses.replace(tiny_sam2_config().hiera, use_fused_block=True)
+    cfg = dataclasses.replace(
+        tiny_sam2_config().hiera, use_fused_block=True,
+        use_fused_transition=True,
+    )
     blk = MultiScaleBlock(
         cfg, dim=CI, dim_out=CO, num_heads=H, window_size=ws, do_q_pool=True
     )
