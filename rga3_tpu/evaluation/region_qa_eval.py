@@ -85,6 +85,145 @@ def run_videorefer_inference(
     return n
 
 
+def run_videorefer_bench_q(
+    chat,
+    question_file: str,
+    video_folder: str,
+    out_path: str,
+    num_frames: int = 16,
+    shape: str = "ellipse",
+    use_stom: bool = True,
+    seed: int = 100,
+) -> int:
+    """The published VideoRefer-Bench-Q pipeline, reading the released
+    dataset layout (ref inference_videorefer.py:26-135):
+
+    * `question_file` — JSON list of {"video", "frame_idx", "annotation"
+      (per-object dict of frame_idx -> {"segmentation": COCO RLE}),
+      "Question" with <objectN><region> markers, "options", "Answer",
+      "type"}.
+    * `video_folder/<video>/` — per-frame image files.
+
+    Per item: sample num_frames-1 frames by linspace + the key frame
+    (duplicates kept, as the reference does), per-object distinct-color
+    `shape` overlay on the key frame (video_blending_keyframes), STOM
+    propagation when the overlay is non-empty, <objectN><region> ->
+    "the object within {color} {shape}" substitution in question AND
+    options (the reference's regex, intent-correct for multi-digit ids),
+    the "Answer with the option's letter..." prompt, then greedy decode.
+    Records match the reference's: {"video", "Answer", "pred": first
+    char of the decoded text (:207-212), "type"} — its eval script's
+    last-resort parse — plus an "idx" field for idempotent resume (the
+    reference re-runs from scratch)."""
+    import random
+    import re
+
+    from PIL import Image
+
+    from ..data.visual_prompts import COLOR_POOL, video_blending_keyframes
+    from ..utils import rle as rle_codec
+
+    rng = random.Random(seed)
+    stom = None
+    if use_stom:
+        from ..models.stom import STOM
+
+        stom = STOM()
+
+    with open(question_file) as f:
+        data = json.load(f)
+
+    done = set()
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["idx"])
+                except Exception:
+                    pass
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    n = 0
+    with open(out_path, "a") as out:
+        for idx, line in enumerate(data):
+            if idx in done:
+                continue
+            key_frame_idxs = [int(line["frame_idx"])]
+            frames_root = os.path.join(video_folder, line["video"])
+            # deviation from the reference: it indexes a raw os.listdir()
+            # (inode order); frame_idx refers to temporal order, so sort
+            frames_name = sorted(os.listdir(frames_root))
+            indices = np.linspace(
+                0, len(frames_name) - 1, num_frames - 1, dtype=int
+            ).tolist()
+            selected = sorted(indices + key_frame_idxs)
+            frames = [
+                Image.open(os.path.join(frames_root, frames_name[i]))
+                .convert("RGB")
+                for i in selected
+            ]
+            is_key = [i in key_frame_idxs for i in selected]
+
+            question = line["Question"]
+            options = list(line["options"])
+            colors = rng.sample(
+                list(COLOR_POOL.keys()), len(line["annotation"])
+            )
+            obj_ids = [
+                int(i)
+                for i in re.findall(r"<object(\d+)><region>", question)
+            ]
+            cur = frames
+            for oi, anno in enumerate(line["annotation"]):
+                masks = []
+                for fi in selected:
+                    seg = (anno.get(str(fi)) or {}).get("segmentation")
+                    masks.append(
+                        rle_codec.decode(seg) if seg is not None
+                        else np.zeros(1)
+                    )
+                color = colors[oi]
+                blended, vip = video_blending_keyframes(
+                    cur, masks, is_key, color, shape, return_vip_img=True
+                )
+                if (
+                    stom is not None
+                    and vip is not None
+                    and (np.array(vip)[:, :, 3] > 0).any()
+                ):
+                    cur = stom.propagate_in_video(
+                        cur, vip, is_key.index(True), shape=shape
+                    )
+                else:
+                    cur = blended
+                marker = f"the object within {color} {shape}"
+                question = question.replace(
+                    f"<object{obj_ids[oi]}><region>", marker
+                )
+                options = [
+                    o.replace(f"<object{obj_ids[oi]}>", marker)
+                    for o in options
+                ]
+
+            prompt = (
+                question + "\n" + " ".join(options) + "\n"
+                + "Answer with the option's letter from the given "
+                "choices directly."
+            )
+            pred = chat.answer(
+                prompt, video_frames=[np.asarray(f) for f in cur]
+            )
+            out.write(json.dumps({
+                "idx": idx,
+                "video": line["video"],
+                "Answer": line["Answer"],
+                "pred": pred[0] if pred else "",
+                "type": line.get("type", "all"),
+            }) + "\n")
+            out.flush()
+            n += 1
+    return n
+
+
 def eval_videorefer(pred_path: str) -> Dict[str, float]:
     by_type: Dict[str, List] = {}
     with open(pred_path) as f:
@@ -112,7 +251,13 @@ def run_vipbench_inference(
 ) -> int:
     """Single-image region QA with [SEG]/segmentation tokens banned.
     batch_size > 1 packs samples through `chat.answer_batch` (decode is
-    weight-bound; near-linear eval speedup)."""
+    weight-bound; near-linear eval speedup).
+
+    The answers file uses the published ViP-Bench evaluator's layout —
+    a flat ``{"v1_<question_id>": "<prediction text>"}`` dict (ref
+    inference_vipbench.py:157 ``results[f'v1_{question_id}']`` consumed
+    by evaluator.py:168,182) — so the official evaluator reads it
+    unchanged."""
     sup = suppress_token_ids(tokenizer) if tokenizer is not None else []
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     results = {}
@@ -122,6 +267,9 @@ def run_vipbench_inference(
     n = 0
     batched = batch_size > 1 and hasattr(chat, "answer_batch")
     pending: List[Dict] = []
+
+    def key(item):
+        return f"v1_{item['id']}"
 
     def flush():
         nonlocal n
@@ -133,14 +281,14 @@ def run_vipbench_inference(
             suppress_ids=sup,
         )
         for it, pred in zip(pending, preds):
-            results[str(it["id"])] = {"answer": pred}
+            results[key(it)] = pred
             n += 1
         with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(results, f, indent=2)
         pending.clear()
 
     for item in items:
-        if str(item["id"]) in results:
+        if key(item) in results:
             continue
         if batched:
             pending.append(item)
@@ -150,12 +298,12 @@ def run_vipbench_inference(
         pred = chat.answer(
             item["question"], images=[item["image"]], suppress_ids=sup
         )
-        results[str(item["id"])] = {"answer": pred}
+        results[key(item)] = pred
         n += 1
     if batched:
         flush()
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(results, f, indent=2)
     return n
 
 
@@ -165,16 +313,21 @@ def eval_vipbench_with_judge(
     judge_fn: Callable[[str, str, str], float],  # (q, gt, pred) -> score 0-10
     runs: int = 5,
 ) -> Dict[str, float]:
-    """GPT-judge scoring, averaged over `runs` (ref evaluator.py:24-27)."""
+    """GPT-judge scoring, averaged over `runs` (ref evaluator.py:24-27).
+    `pred_path` holds the evaluator-layout flat dict ("v1_<id>" -> text);
+    `gts` may be keyed either way (bare ids get the "v1_" prefix)."""
     with open(pred_path) as f:
         preds = json.load(f)
+    gts = {
+        (k if k.startswith("v1_") else f"v1_{k}"): v for k, v in gts.items()
+    }
     scores = []
-    for pid, d in preds.items():
+    for pid, pred in preds.items():
         if pid not in gts:
             continue
         g = gts[pid]
         per_run = [
-            judge_fn(g["question"], g["answer"], d["answer"])
+            judge_fn(g["question"], g["answer"], pred)
             for _ in range(runs)
         ]
         scores.append(float(np.mean(per_run)))

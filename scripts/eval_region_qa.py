@@ -1,0 +1,158 @@
+"""Region-QA benchmark CLI: ViP-Bench and VideoRefer-Bench-Q.
+
+The reference's entry points are evaluation/vipbench/inference_vipbench.py
+(question-file jsonl + image folder -> evaluator-layout answers json, with
+[SEG]/segmentation token suppression) and
+evaluation/videorefer_bench/inference_videorefer.py + eval script
+(published question JSON + frames dirs -> jsonl records -> per-type MC
+accuracy). This driver covers both behind one CLI:
+
+  python scripts/eval_region_qa.py --bench vipbench --stage infer \
+      --question_file .../human-questions.jsonl --image_folder .../images \
+      --out answers/human-answers.json --model_dir <hf-dir>
+
+  python scripts/eval_region_qa.py --bench videorefer --stage infer \
+      --question_file .../VideoRefer-Bench-Q.json --video_folder .../videos \
+      --out preds.jsonl --model_dir <hf-dir> [--no_stom]
+  python scripts/eval_region_qa.py --bench videorefer --stage eval \
+      --out preds.jsonl
+
+ViP-Bench grading (GPT judge, 5 runs) runs via
+rga3_tpu.evaluation.gpt_judge.grade_vipbench behind a transport callable
+(needs an OpenAI-compatible endpoint, like the reference's evaluator.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def build_chat(args):
+    from scripts.eval_vos import build_segmentor
+
+    class A:
+        pass
+
+    a = A()
+    a.model_dir = args.model_dir
+    a.sam_pretrained = None
+    a.model_size = args.model_size
+    a.num_frames_mllm = args.num_frames
+    a.int8 = args.int8
+    a.int4 = args.int4
+    seg = build_segmentor(a)
+
+    from rga3_tpu.evaluation.segmentor import UniGRChat
+    from rga3_tpu.models.qwen25vl.model import Qwen25VL
+
+    chat = UniGRChat(
+        Qwen25VL(seg.model.cfg.qwen),
+        {"params": seg.params["params"]["qwen"]},
+        seg.processor,
+        max_new_tokens=args.max_new_tokens,
+    )
+    return chat, seg.processor
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--bench", choices=["vipbench", "videorefer"],
+                   required=True)
+    p.add_argument("--stage", choices=["infer", "eval"], default="infer")
+    p.add_argument("--question_file")
+    p.add_argument("--image_folder", help="ViP-Bench image root")
+    p.add_argument("--video_folder", help="VideoRefer frames root")
+    p.add_argument("--out", required=True,
+                   help="answers json (vipbench) / records jsonl "
+                   "(videorefer)")
+    p.add_argument("--model_dir")
+    p.add_argument("--model_size", choices=["3b", "7b", "tiny"],
+                   default="7b")
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--shape", default="ellipse")
+    p.add_argument("--no_stom", action="store_true")
+    p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--subset_idx", type=int, default=0)
+    p.add_argument("--subset_num", type=int, default=1)
+    p.add_argument("--int8", action="store_true")
+    p.add_argument("--int4", action="store_true")
+    args = p.parse_args()
+
+    from rga3_tpu.evaluation.region_qa_eval import (
+        eval_videorefer, run_videorefer_bench_q, run_vipbench_inference,
+    )
+
+    if args.bench == "videorefer":
+        if args.stage == "eval":
+            scores = eval_videorefer(args.out)
+            print(json.dumps(scores, indent=2))
+            return
+        chat, _ = build_chat(args)
+        n = run_videorefer_bench_q(
+            chat, args.question_file, args.video_folder, args.out,
+            num_frames=args.num_frames, shape=args.shape,
+            use_stom=not args.no_stom,
+        )
+        print(json.dumps({"bench": "videorefer", "new": n,
+                          "out": args.out}))
+        return
+
+    if args.stage == "eval":
+        print(
+            "ViP-Bench grading needs a GPT transport; use "
+            "rga3_tpu.evaluation.gpt_judge.grade_vipbench with the "
+            "published vip-bench-meta-data.json (see tests/"
+            "test_gpt_judge.py for the fixture-driven protocol).",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
+    # ViP-Bench inference: question-file jsonl rows
+    # {"question_id", "image", "text"} (ref inference_vipbench.py:33-62)
+    import numpy as np
+    from PIL import Image
+
+    items = []
+    with open(args.question_file) as f:
+        for line in f:
+            row = json.loads(line)
+            items.append(row)
+    items = [
+        r for i, r in enumerate(items)
+        if i % args.subset_num == args.subset_idx
+    ]
+    if os.path.exists(args.out):  # skip done rows before loading images
+        with open(args.out) as f:
+            done = set(json.load(f))
+        items = [r for r in items if f"v1_{r['question_id']}" not in done]
+
+    chat, processor = build_chat(args)
+
+    def load(row):
+        img = Image.open(
+            os.path.join(args.image_folder, row["image"])
+        ).convert("RGB")
+        return {
+            "id": row["question_id"],
+            "image": np.asarray(img),
+            "question": row["text"],
+        }
+
+    n = run_vipbench_inference(
+        chat, (load(r) for r in items), args.out,
+        tokenizer=processor.tokenizer
+        if hasattr(processor, "tokenizer") else None,
+        batch_size=args.batch_size,
+    )
+    print(json.dumps({"bench": "vipbench", "new": n, "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,7 @@ import pytest
 from rga3_tpu.evaluation.region_qa_eval import (
     eval_videorefer,
     eval_vipbench_with_judge,
+    run_videorefer_bench_q,
     run_videorefer_inference,
     run_vipbench_inference,
     suppress_token_ids,
@@ -135,8 +136,70 @@ def test_vipbench_batched_inference(tmp_path):
     import json as _json
 
     res = _json.loads(out.read_text())
-    assert set(res) == {"0", "1", "2", "3", "4"}
+    # the published ViP-Bench evaluator layout: flat v1_<id> -> text
+    assert set(res) == {f"v1_{i}" for i in range(5)}
+    assert all(isinstance(v, str) for v in res.values())
     # resume: everything recorded, nothing re-runs
     assert run_vipbench_inference(
         BatchChat(), items, str(out), batch_size=2
     ) == 0
+
+
+def test_videorefer_bench_q_published_layout(tmp_path):
+    """Drives run_videorefer_bench_q on a synthetic dataset in the
+    RELEASED layout: frames dirs + question JSON with <objectN><region>
+    markers and per-object RLE annotations (ref
+    inference_videorefer.py:26-135)."""
+    from PIL import Image
+
+    from rga3_tpu.utils import rle
+
+    rng = np.random.default_rng(3)
+    vid_dir = tmp_path / "videos" / "vidA"
+    vid_dir.mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+        ).save(vid_dir / f"{i:05d}.jpg")
+
+    mask = np.zeros((40, 50), np.uint8)
+    mask[10:30, 15:35] = 1
+    q = {
+        "video": "vidA",
+        "frame_idx": 1,
+        "annotation": [{"1": {"segmentation": rle.encode(mask)}}],
+        "Question": "What is <object0><region> doing?",
+        "options": ["(A) <object0> sits", "(B) <object0> runs"],
+        "Answer": "(B)",
+        "type": "basic",
+    }
+    qfile = tmp_path / "q.json"
+    qfile.write_text(json.dumps([q]))
+
+    # the prompt asks for the bare option letter; the reference records
+    # only the FIRST CHARACTER of the decoded text (:207-212)
+    chat = FakeChat(["B. runs"])
+    out = tmp_path / "preds.jsonl"
+    n = run_videorefer_bench_q(
+        chat, str(qfile), str(tmp_path / "videos"), str(out),
+        num_frames=4, use_stom=False,
+    )
+    assert n == 1
+    sent = chat.calls[0]["question"]
+    # markers substituted with the color+shape phrase in Q and options
+    assert "<object0>" not in sent
+    assert "the object within" in sent and "ellipse" in sent
+    assert "Answer with the option's letter" in sent
+    assert chat.calls[0]["n_frames"] == 4
+    rec = json.loads(out.read_text().strip())
+    # the reference record layout: pred = first char of the decoded text
+    assert rec["video"] == "vidA" and rec["type"] == "basic"
+    assert rec["Answer"] == "(B)" and rec["pred"] == "B"
+    # idempotent resume
+    assert run_videorefer_bench_q(
+        FakeChat([]), str(qfile), str(tmp_path / "videos"), str(out),
+        num_frames=4, use_stom=False,
+    ) == 0
+    # and the records feed the reference eval protocol
+    scores = eval_videorefer(str(out))
+    assert scores["overall"] == 1.0
