@@ -52,6 +52,10 @@ def main():
         cfg = cfg.replace(
             hiera=cfg.hiera.replace(fused_block_q_large=int(bql))
         )
+    if os.environ.get("RGA3_FUSED_TRANSITION"):  # A/B the q-pool kernel
+        cfg = cfg.replace(
+            hiera=cfg.hiera.replace(use_fused_transition=True)
+        )
     model = Sam2Model(cfg)
     rng = np.random.default_rng(0)
 

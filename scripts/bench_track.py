@@ -40,6 +40,10 @@ def main():
     from rga3_tpu.models.sam2.video import track_video
 
     cfg = SAM2_HIERA_L
+    if os.environ.get("RGA3_FUSED_TRANSITION"):  # A/B the q-pool kernel
+        cfg = cfg.replace(
+            hiera=cfg.hiera.replace(use_fused_transition=True)
+        )
     model = Sam2Model(cfg)
     rng = np.random.default_rng(0)
     T = args.frames
