@@ -297,6 +297,9 @@ class UniGRChat:
         processor: QwenVLProcessor,
         max_new_tokens: int = 64,
         compute_dtype=None,
+        draft_model=None,
+        draft_params=None,
+        spec_k: int = 4,
     ):
         import jax.numpy as jnp
 
@@ -319,6 +322,15 @@ class UniGRChat:
         self.processor = processor
         self.max_new_tokens = max_new_tokens
         self.compute_dtype = compute_dtype or jnp.bfloat16
+        # optional speculative decoding (draft-and-verify; token-exact
+        # greedy — generate.speculative_greedy_generate). The draft must
+        # share the tokenizer; a text-only draft works for vision
+        # prompts too (it just predicts from the text stream... any
+        # draft is CORRECT, a blind one is merely slower), but the
+        # standard pairing is a smaller Qwen2.5-VL.
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        self.spec_k = spec_k
 
     def answer(
         self,
@@ -368,12 +380,11 @@ class UniGRChat:
             )
             la = layout_device_args(layout, qcfg.vision)
 
-        toks = greedy_generate(
-            self.model, self.params,
-            jnp.asarray(enc["input_ids"], jnp.int32),
-            jnp.asarray(enc["attention_mask"]),
-            jnp.asarray(pos),
-            jnp.asarray(deltas),
+        kw = dict(
+            input_ids=jnp.asarray(enc["input_ids"], jnp.int32),
+            attention_mask=jnp.asarray(enc["attention_mask"]),
+            position_ids=jnp.asarray(pos),
+            rope_deltas=jnp.asarray(deltas),
             max_new_tokens=self.max_new_tokens,
             eos_token_id=151645,
             pad_token_id=151643,
@@ -382,6 +393,23 @@ class UniGRChat:
             suppress_ids=suppress_ids,
             compute_dtype=self.compute_dtype,
         )
+        if self.draft_model is not None:
+            from ..models.qwen25vl.generate import (
+                speculative_greedy_generate,
+            )
+
+            toks, _ = speculative_greedy_generate(
+                self.model, self.params,
+                self.draft_model, self.draft_params,
+                k=self.spec_k,
+                draft_pixel_patches=kw["pixel_patches"]
+                if hasattr(self.draft_model.cfg, "vision") else None,
+                draft_vision_layout=kw["vision_layout"]
+                if hasattr(self.draft_model.cfg, "vision") else None,
+                **kw,
+            )
+        else:
+            toks = greedy_generate(self.model, self.params, **kw)
         ids = np.asarray(toks[0])
         return self._decode_row(ids)
 

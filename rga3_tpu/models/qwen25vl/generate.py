@@ -130,6 +130,208 @@ def greedy_generate(
     return decode(params, cache, first_tok, rng, next_pos)
 
 
+def speculative_greedy_generate(
+    model: Qwen25VL,
+    params,
+    draft_model: Qwen25VL,
+    draft_params,
+    input_ids: jnp.ndarray,  # (1, L) prompt (batch 1: per-row accept
+    # counts would diverge the uniform cache idx)
+    attention_mask: jnp.ndarray,  # (1, L)
+    position_ids: jnp.ndarray,  # (3, 1, L)
+    rope_deltas: jnp.ndarray,  # (1,)
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int,
+    k: int = 4,
+    pixel_patches: Optional[jnp.ndarray] = None,
+    vision_layout: Optional[Dict[str, Any]] = None,
+    draft_pixel_patches: Optional[jnp.ndarray] = None,
+    draft_vision_layout: Optional[Dict[str, Any]] = None,
+    suppress_ids: Sequence[int] = (),
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Dict[str, int]]:
+    """Draft-and-verify greedy decoding — token-exact vs greedy_generate.
+
+    A cheap draft model proposes k tokens autoregressively; the target
+    verifies all of them in ONE (k+1)-token forward (a chunked decode —
+    the cache's position-based masking keeps stale K/V beyond the
+    accepted prefix invisible, so 'rollback' is just rewinding the idx
+    scalar). Greedy acceptance (d_i == target argmax) makes the output
+    bit-identical to plain greedy decode for ANY draft; the draft only
+    controls speed. The draft runs k+1 forwards (its cache then always
+    covers the accepted prefix, even on full acceptance). Decode is
+    weight-HBM-bound, so the target's cost per iteration is ~one decode
+    step while emitting up to k+1 tokens.
+
+    Host-driven loop (one jitted step per iteration; iteration count is
+    data-dependent). Returns ((1, max_new_tokens) ids padded after EOS,
+    {"steps", "emitted"}).
+
+    TPU-native speedup beyond the reference's HF `.generate` greedy loop
+    (ref inference_videoinfer.py:312-321 — no speculative path exists
+    there)."""
+    b, l = input_ids.shape
+    assert b == 1, "speculative decode is a latency path: batch 1"
+
+    seg = attention_mask.astype(jnp.int32)
+    tcache = make_kv_cache(
+        model.cfg.text, b, l + max_new_tokens + k + 2, dtype=compute_dtype
+    )
+    dcache = make_kv_cache(
+        draft_model.cfg.text, b, l + max_new_tokens + k + 2,
+        dtype=compute_dtype,
+    )
+
+    out = _prefill_fn(model, compute_dtype, pixel_patches is not None)(
+        params, input_ids, position_ids, seg, tcache,
+        pixel_patches, vision_layout,
+    )
+    tcache = out["cache"]
+    dout = _prefill_fn(
+        draft_model, compute_dtype, draft_pixel_patches is not None
+    )(
+        draft_params, input_ids, position_ids, seg, dcache,
+        draft_pixel_patches, draft_vision_layout,
+    )
+    dcache = dout["cache"]
+
+    last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
+    logits = jnp.take_along_axis(
+        out["logits"], last_idx[:, None, None], axis=1
+    )[:, 0].astype(jnp.float32)
+    sup = jnp.asarray(list(suppress_ids), jnp.int32) if suppress_ids else None
+    if sup is not None:
+        logits = logits.at[:, sup].set(-jnp.inf)
+    cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (1,)
+
+    next_pos = (
+        jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+        + rope_deltas.astype(jnp.int32)
+    )  # (1,) M-RoPE position of the first generated token
+
+    step = _spec_step_fn(
+        model, draft_model, compute_dtype, int(k),
+        int(eos_token_id), tuple(int(i) for i in suppress_ids),
+    )
+
+    import numpy as np
+
+    toks = np.full((1, max_new_tokens), pad_token_id, np.int64)
+    n = 0
+    steps = 0
+    done = max_new_tokens == 0
+    if not done:
+        # greedy_generate emits the first token even when it is EOS
+        toks[0, 0] = int(cur[0])
+        n = 1
+        done = bool(cur[0] == eos_token_id)
+    while n < max_new_tokens and not done:
+        tcache, dcache, cur, emitted, n_emit = step(
+            params, draft_params, tcache, dcache, cur,
+            next_pos + (n - 1),
+        )
+        steps += 1
+        em = np.asarray(emitted[0])
+        m = int(n_emit)
+        for t in em[:m]:
+            if n >= max_new_tokens:
+                break
+            toks[0, n] = int(t)
+            n += 1
+            if int(t) == eos_token_id:
+                done = True
+                break
+    return jnp.asarray(toks), {"steps": steps, "emitted": n}
+
+
+@functools.lru_cache(maxsize=8)
+def _spec_step_fn(model, draft_model, compute_dtype, k, eos_token_id,
+                  suppress_ids):
+    """One jitted speculative iteration: k+1 draft forwards + one
+    (k+1)-token target verify, with cache-idx rewind to the accepted
+    prefix. `cur_pos` is cur's own M-RoPE position (proposals sit at
+    cur_pos+1..cur_pos+k)."""
+    sup = (
+        jnp.asarray(list(suppress_ids), jnp.int32) if suppress_ids else None
+    )
+
+    def mask(lg):
+        lg = lg.astype(jnp.float32)
+        if sup is not None:
+            lg = lg.at[:, sup].set(-jnp.inf)
+        return lg
+
+    @jax.jit
+    def step(params, draft_params, tcache, dcache, cur, cur_pos):
+        b = cur.shape[0]
+        t_idx0 = tcache["idx"]
+        d_idx0 = dcache["idx"]
+
+        # --- draft k proposals (k+1 forwards so the draft cache covers
+        # the accepted prefix even when everything is accepted) ---
+        def dstep(carry, i):
+            dcache, tok = carry
+            pos = jnp.broadcast_to(
+                (cur_pos + i)[None, :, None], (3, b, 1)
+            ).astype(jnp.int32)
+            dout = draft_model.apply(
+                draft_params, input_ids=tok[:, None], position_ids=pos,
+                cache=dcache, compute_dtype=compute_dtype,
+            )
+            nxt = jnp.argmax(
+                mask(dout["logits"][:, -1]), axis=-1
+            ).astype(jnp.int32)
+            return (dout["cache"], nxt), nxt
+
+        (dcache, _), drafts = jax.lax.scan(
+            dstep, (dcache, cur), jnp.arange(k + 1)
+        )
+        drafts = drafts[:k]  # (k, b) proposals d_1..d_k
+
+        # --- one (k+1)-token target verify over [cur, d_1..d_k] ---
+        window = jnp.concatenate([cur[None], drafts], axis=0)  # (k+1, b)
+        win_ids = window.T  # (b, k+1)
+        pos = (cur_pos[None, :, None]
+               + jnp.arange(k + 1)[None, None, :]).astype(jnp.int32)
+        pos = jnp.broadcast_to(pos, (3, b, k + 1))
+        tout = model.apply(
+            params, input_ids=win_ids, position_ids=pos, cache=tcache,
+            compute_dtype=compute_dtype,
+        )
+        tcache = tout["cache"]
+        greedy = jnp.argmax(
+            mask(tout["logits"].reshape(b * (k + 1), -1)).reshape(
+                b, k + 1, -1
+            ),
+            axis=-1,
+        ).astype(jnp.int32)  # (b, k+1): g_0..g_k
+
+        # accept d_i while it matches g_{i-1} and no EOS emitted earlier
+        d = drafts.T  # (b, k)
+        match = d == greedy[:, :k]
+        not_eos = jnp.cumprod(
+            (greedy[:, :k] != eos_token_id).astype(jnp.int32), axis=1
+        ).astype(bool)
+        acc = jnp.cumprod(match & not_eos, axis=1)  # (b, k)
+        a = jnp.sum(acc, axis=1)  # accepted count in [0, k]
+
+        # emitted tokens: g_0..g_a  (g_i == d_{i+1} on the accepted
+        # prefix; g_a is the correction / bonus token)
+        n_emit = a + 1
+        emitted = greedy  # (b, k+1); caller reads the first n_emit
+
+        new_len = a[0] + 1
+        tcache = dict(tcache)
+        tcache["idx"] = t_idx0 + new_len
+        dcache = dict(dcache)
+        dcache["idx"] = d_idx0 + new_len
+        cur_next = jnp.take_along_axis(greedy, a[:, None], axis=1)[:, 0]
+        return tcache, dcache, cur_next, emitted, n_emit[0]
+
+    return step
+
+
 @functools.lru_cache(maxsize=16)
 def _decode_fn(model, compute_dtype, max_new_tokens, eos_token_id,
                pad_token_id, suppress_ids, temperature, top_p):

@@ -109,6 +109,11 @@ def main():
                    help="int8 weight-only LLM + vision tower (ops.quant)")
     p.add_argument("--int4", action="store_true",
                    help="int4 weight-only LLM + int8 vision tower")
+    p.add_argument("--draft_dir",
+                   help="HF dir of a smaller Qwen2.5-VL (3B) used as a "
+                   "speculative-decoding draft (token-exact greedy)")
+    p.add_argument("--spec_k", type=int, default=4,
+                   help="draft proposal length per verify step")
     args = p.parse_args()
 
     from rga3_tpu.evaluation import videoinfer_eval as vi
@@ -131,11 +136,23 @@ def main():
         from rga3_tpu.evaluation.segmentor import UniGRChat
         from rga3_tpu.models.qwen25vl.model import Qwen25VL
 
+        draft_model = draft_params = None
+        if args.draft_dir:
+            # speculative decoding: a smaller Qwen2.5-VL drafts, the
+            # 7B verifies (token-exact greedy; batch_size must be 1)
+            from rga3_tpu.models.qwen25vl import QWEN25_VL_3B
+            from rga3_tpu.models.qwen25vl.loader import load_qwen25vl_params
+
+            draft_model = Qwen25VL(QWEN25_VL_3B)
+            draft_params = load_qwen25vl_params(args.draft_dir)
         chat = UniGRChat(
             Qwen25VL(seg.model.cfg.qwen),
             {"params": seg.params["params"]["qwen"]},
             seg.processor,
             max_new_tokens=args.max_new_tokens,
+            draft_model=draft_model,
+            draft_params=draft_params,
+            spec_k=args.spec_k,
         )
         n = vi.run_inference(
             chat, list(load_items(args.data_root, args.split)), args.out,

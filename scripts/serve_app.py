@@ -23,6 +23,10 @@ def main():
                    help="int8 weight-only LLM + vision tower (ops.quant)")
     p.add_argument("--int4", action="store_true",
                    help="int4 weight-only LLM + int8 vision tower")
+    p.add_argument("--draft_dir",
+                   help="HF dir of a smaller Qwen2.5-VL used as a "
+                   "speculative-decoding draft (token-exact greedy)")
+    p.add_argument("--spec_k", type=int, default=4)
     args = p.parse_args()
 
     from rga3_tpu.serve.app import UniGRService, serve
@@ -46,10 +50,20 @@ def main():
         from rga3_tpu.evaluation.segmentor import UniGRChat
         from rga3_tpu.models.qwen25vl.model import Qwen25VL
 
+        draft_model = draft_params = None
+        if args.draft_dir:
+            from rga3_tpu.models.qwen25vl import QWEN25_VL_3B
+            from rga3_tpu.models.qwen25vl.loader import load_qwen25vl_params
+
+            draft_model = Qwen25VL(QWEN25_VL_3B)
+            draft_params = load_qwen25vl_params(args.draft_dir)
         chat = UniGRChat(
             Qwen25VL(segmentor.model.cfg.qwen),
             {"params": segmentor.params["params"]["qwen"]},
             segmentor.processor,
+            draft_model=draft_model,
+            draft_params=draft_params,
+            spec_k=args.spec_k,
         )
     print(f"serving on :{args.port}", flush=True)
     serve(UniGRService(chat=chat, segmentor=segmentor), port=args.port)

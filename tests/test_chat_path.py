@@ -127,3 +127,18 @@ def test_answer_batch_rejects_mixed_modality(chat):
             ["q"], video_frames_list=[frames],
             images_list=[[np.zeros((28, 28, 3), np.uint8)]],
         )
+
+
+@pytest.mark.slow
+def test_chat_speculative_draft_matches_plain(chat):
+    """UniGRChat with a draft model (here: the target itself) answers
+    byte-identically to plain greedy — speculative decode is exact."""
+    c, frames = chat
+    plain = c.answer("Describe the video.", video_frames=frames)
+    spec = UniGRChat(
+        c.model, c.params, c.processor, max_new_tokens=4,
+        compute_dtype=jnp.float32,
+        draft_model=c.model, draft_params=c.params, spec_k=2,
+    )
+    out = spec.answer("Describe the video.", video_frames=frames)
+    assert out == plain

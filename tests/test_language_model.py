@@ -106,3 +106,78 @@ def test_sampling_generate_runs():
     assert outs[0].shape == (1, 6)
     # different seeds should (almost surely) sample different sequences
     assert not np.array_equal(outs[0], outs[1])
+
+
+@pytest.mark.slow
+def test_speculative_decode_token_exact():
+    """Speculative draft-and-verify greedy == plain greedy for ANY draft
+    (here: a differently-initialized tiny model), across k values."""
+    import jax
+    from rga3_tpu.models.qwen25vl import tiny_config as _tc
+    from rga3_tpu.models.qwen25vl.model import Qwen25VL
+    from rga3_tpu.models.qwen25vl.generate import (
+        greedy_generate, speculative_greedy_generate,
+    )
+    from rga3_tpu.models.qwen25vl.positions import get_rope_index
+
+    cfg = _tc(vocab_size=300)
+    model = Qwen25VL(cfg)
+    draft = Qwen25VL(cfg)
+    ids = np.random.default_rng(1).integers(0, 300, (1, 6)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), input_ids=jnp.asarray(ids))
+    dparams = draft.init(jax.random.PRNGKey(9), input_ids=jnp.asarray(ids))
+    pos, deltas = get_rope_index(cfg, ids)
+    kw = dict(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((1, 6), jnp.int32),
+        position_ids=jnp.asarray(pos),
+        rope_deltas=jnp.asarray(deltas),
+        max_new_tokens=12,
+        eos_token_id=10_000,
+        pad_token_id=0,
+        compute_dtype=jnp.float32,
+    )
+    ref = np.asarray(greedy_generate(model, params, **kw))
+    for k in (1, 3):
+        got, stats = speculative_greedy_generate(
+            model, params, draft, dparams, k=k, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(got), ref, err_msg=f"k={k}")
+        assert stats["emitted"] == 12
+        assert 1 <= stats["steps"] <= 12
+
+
+@pytest.mark.slow
+def test_speculative_decode_self_draft_accepts_everything():
+    """With draft == target every proposal is accepted: k+1 tokens per
+    verify step."""
+    import jax
+    from rga3_tpu.models.qwen25vl import tiny_config as _tc
+    from rga3_tpu.models.qwen25vl.model import Qwen25VL
+    from rga3_tpu.models.qwen25vl.generate import (
+        greedy_generate, speculative_greedy_generate,
+    )
+    from rga3_tpu.models.qwen25vl.positions import get_rope_index
+
+    cfg = _tc(vocab_size=300)
+    model = Qwen25VL(cfg)
+    ids = np.random.default_rng(2).integers(0, 300, (1, 5)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(3), input_ids=jnp.asarray(ids))
+    pos, deltas = get_rope_index(cfg, ids)
+    kw = dict(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((1, 5), jnp.int32),
+        position_ids=jnp.asarray(pos),
+        rope_deltas=jnp.asarray(deltas),
+        max_new_tokens=9,
+        eos_token_id=10_000,
+        pad_token_id=0,
+        compute_dtype=jnp.float32,
+    )
+    ref = np.asarray(greedy_generate(model, params, **kw))
+    got, stats = speculative_greedy_generate(
+        model, params, model, params, k=3, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    # 1 prefill token + ceil(8 / 4) = 2 verify steps
+    assert stats["steps"] == 2
