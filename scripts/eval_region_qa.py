@@ -114,44 +114,53 @@ def main():
         )
         sys.exit(2)
 
-    # ViP-Bench inference: question-file jsonl rows
-    # {"question_id", "image", "text"} (ref inference_vipbench.py:33-62)
-    import numpy as np
-    from PIL import Image
-
-    items = []
-    with open(args.question_file) as f:
-        for line in f:
-            row = json.loads(line)
-            items.append(row)
-    items = [
-        r for i, r in enumerate(items)
-        if i % args.subset_num == args.subset_idx
-    ]
-    if os.path.exists(args.out):  # skip done rows before loading images
-        with open(args.out) as f:
-            done = set(json.load(f))
-        items = [r for r in items if f"v1_{r['question_id']}" not in done]
-
     chat, processor = build_chat(args)
-
-    def load(row):
-        img = Image.open(
-            os.path.join(args.image_folder, row["image"])
-        ).convert("RGB")
-        return {
-            "id": row["question_id"],
-            "image": np.asarray(img),
-            "question": row["text"],
-        }
-
     n = run_vipbench_inference(
-        chat, (load(r) for r in items), args.out,
+        chat,
+        load_vipbench_items(
+            args.question_file, args.image_folder, args.out,
+            subset_idx=args.subset_idx, subset_num=args.subset_num,
+        ),
+        args.out,
         tokenizer=processor.tokenizer
         if hasattr(processor, "tokenizer") else None,
         batch_size=args.batch_size,
     )
     print(json.dumps({"bench": "vipbench", "new": n, "out": args.out}))
+
+
+def load_vipbench_items(question_file, image_folder, out_path,
+                        subset_idx=0, subset_num=1):
+    """ViP-Bench question-file jsonl rows {"question_id", "image",
+    "text"} (ref inference_vipbench.py:33-62) -> lazy item stream for
+    run_vipbench_inference, with job sharding and already-answered rows
+    (evaluator-layout v1_<id> keys) skipped BEFORE image load."""
+    import numpy as np
+    from PIL import Image
+
+    with open(question_file) as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    rows = [
+        r for i, r in enumerate(rows)
+        if i % subset_num == subset_idx
+    ]
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            done = set(json.load(f))
+        rows = [r for r in rows if f"v1_{r['question_id']}" not in done]
+
+    def gen():
+        for row in rows:
+            img = Image.open(
+                os.path.join(image_folder, row["image"])
+            ).convert("RGB")
+            yield {
+                "id": row["question_id"],
+                "image": np.asarray(img),
+                "question": row["text"],
+            }
+
+    return gen()
 
 
 if __name__ == "__main__":

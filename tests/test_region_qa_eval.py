@@ -203,3 +203,37 @@ def test_videorefer_bench_q_published_layout(tmp_path):
     # and the records feed the reference eval protocol
     scores = eval_videorefer(str(out))
     assert scores["overall"] == 1.0
+
+
+def test_vipbench_cli_item_loader(tmp_path):
+    """The CLI's jsonl->item mapping: published row layout, job sharding,
+    and pre-load skipping of already-answered (v1_<id>) rows."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from PIL import Image
+
+    from scripts.eval_region_qa import load_vipbench_items
+
+    imgs = tmp_path / "images"
+    imgs.mkdir()
+    rng = np.random.default_rng(4)
+    qf = tmp_path / "q.jsonl"
+    with open(qf, "w") as f:
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+            ).save(imgs / f"{i}.jpg")
+            f.write(json.dumps({
+                "question_id": i, "image": f"{i}.jpg", "text": f"q{i}",
+            }) + "\n")
+    out = tmp_path / "answers.json"
+    out.write_text(json.dumps({"v1_0": "already answered"}))
+
+    items = list(load_vipbench_items(
+        str(qf), str(imgs), str(out), subset_idx=0, subset_num=2
+    ))
+    # rows 0, 2 belong to shard 0; row 0 is already answered
+    assert [it["id"] for it in items] == [2]
+    assert items[0]["question"] == "q2"
+    assert items[0]["image"].shape == (8, 8, 3)
