@@ -105,6 +105,11 @@ class TrainConfig(ConfigBase):
     micro_batch_size: int = 2
     grad_accum_steps: int = 8
     precision: str = "bfloat16"
+    # dtype of Adam's first moment. bf16 halves that slice of optimizer
+    # HBM (useful headroom at scale); the variance stays f32 — bf16's
+    # 8-bit mantissa is too coarse for second moments. "float32" for the
+    # reference-exact regime.
+    adam_mu_dtype: str = "float32"
     lora_r: int = 128
     lora_alpha: int = 256
     lora_dropout: float = 0.05

@@ -81,6 +81,7 @@ def build_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformati
             b1=cfg.beta1,
             b2=cfg.beta2,
             weight_decay=cfg.weight_decay,
+            mu_dtype=cfg.adam_mu_dtype,
         ),
     )
     return optax.multi_transform(

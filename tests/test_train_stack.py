@@ -106,3 +106,28 @@ def test_infer_param_sharding_fsdp_axis():
     assert sh["w"].spec == jax.sharding.PartitionSpec("fsdp", None)
     assert sh["b"].spec == jax.sharding.PartitionSpec(None)
     assert sh["s"].spec == jax.sharding.PartitionSpec()
+
+
+def test_adam_mu_dtype_bf16():
+    """adam_mu_dtype=bfloat16 halves the first-moment slice of optimizer
+    HBM; the variance stays f32, and a step still updates params."""
+    import optax
+    from rga3_tpu.train.optimizer import build_optimizer
+
+    params = {"params": {"qwen": {"lm_head": {
+        "kernel": jnp.ones((8, 4), jnp.float32)}}}}
+    tx = build_optimizer(
+        TrainConfig(adam_mu_dtype="bfloat16", epochs=1, steps_per_epoch=2),
+        params,
+    )
+    state = tx.init(params)
+    mus = [
+        x.dtype for x in jax.tree.leaves(state)
+        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+    ]
+    assert mus, "no bf16 moment found in the optimizer state"
+    grads = jax.tree.map(jnp.ones_like, params)
+    # step 0 sits at warmup lr=0; the second step must move params
+    updates, state = tx.update(grads, state, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(jax.tree.leaves(updates)[0]).max()) > 0
