@@ -168,6 +168,66 @@ def quantize_for_serving(
     return quantize_qwen_params(p8, keys=QWEN_QUANT_KEYS, bits=4)
 
 
+QUANT_CKPT_FILE = "rga3_quant.safetensors"
+QUANT_CKPT_META = "rga3_quant.json"
+
+
+def save_quantized(params: Dict[str, Any], out_dir: str, meta: Dict) -> str:
+    """Persist an (already-quantized) params tree as one safetensors file
+    + a meta json. Cold-start then reads int8/int4 kernels directly —
+    no full-precision weights travel host->device (the slow hop on
+    tunneled TPU setups), and disk shrinks accordingly."""
+    import json
+    import os
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    flat: Dict[str, Any] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for kk, vv in node.items():
+                walk(vv, path + (kk,))
+            return
+        flat["/".join(path)] = np.asarray(node)
+
+    walk(params, ())
+    os.makedirs(out_dir, exist_ok=True)
+    save_file(flat, os.path.join(out_dir, QUANT_CKPT_FILE))
+    with open(os.path.join(out_dir, QUANT_CKPT_META), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
+def is_quantized_dir(model_dir: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(model_dir, QUANT_CKPT_FILE))
+
+
+def load_quantized(model_dir: str) -> Tuple[Dict[str, Any], Dict]:
+    """Inverse of save_quantized: (nested params tree, meta)."""
+    import json
+    import os
+
+    from safetensors import safe_open
+
+    tree: Dict[str, Any] = {}
+    with safe_open(
+        os.path.join(model_dir, QUANT_CKPT_FILE), framework="numpy"
+    ) as f:
+        for key in f.keys():
+            node = tree
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = f.get_tensor(key)
+    with open(os.path.join(model_dir, QUANT_CKPT_META)) as f:
+        meta = json.load(f)
+    return tree, meta
+
+
 def dequantize_qwen_params(params: Dict[str, Any]) -> Dict[str, Any]:
     """Inverse transform (for export / debugging): {kernel_q, scale} ->
     {kernel} float32."""

@@ -45,6 +45,24 @@ def build_segmentor(args):
     int4 = bool(getattr(args, "int4", False))
     assert not (int8 and int4), "--int8 and --int4 are exclusive"
     quant_mode = "int4" if int4 else ("int8" if int8 else None)
+    from rga3_tpu.ops.quant import is_quantized_dir, load_quantized
+
+    prequantized = (
+        args.model_dir != "dummy" and is_quantized_dir(args.model_dir)
+    )
+    if prequantized:
+        # pre-quantized checkpoint (scripts/quantize_checkpoint.py):
+        # kernels are already int8/int4 on disk; its meta decides the
+        # config flags
+        import json as _json
+        import os as _os
+
+        from rga3_tpu.ops.quant import QUANT_CKPT_META
+
+        with open(_os.path.join(args.model_dir, QUANT_CKPT_META)) as f:
+            qmeta = _json.load(f)
+        quant_mode = qmeta["mode"]
+        int8, int4 = quant_mode == "int8", quant_mode == "int4"
     if quant_mode:
         qcfg = qcfg.replace(
             text=qcfg.text.replace(quant_int8=int8, quant_int4=int4),
@@ -81,6 +99,14 @@ def build_segmentor(args):
         params = jax.tree.map(dummy_leaf, meta.unbox(shapes))
         quant_mode = None  # dummy init already matches the (possibly
         # quantized) tree layout; nothing to convert
+    elif prequantized:
+        params, _ = load_quantized(args.model_dir)
+        quant_mode = None  # kernels already quantized on disk
+        if (args.sam_pretrained
+                and "grounding_encoder" not in params["params"]):
+            params["params"]["grounding_encoder"] = load_sam2_params(
+                args.sam_pretrained
+            )["params"]
     else:
         params = load_unigr_params(args.model_dir)
         if (args.sam_pretrained

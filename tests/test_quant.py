@@ -236,3 +236,38 @@ def test_vision_tower_int8():
         jnp.linalg.norm(out_q - out_fp) / (jnp.linalg.norm(out_fp) + 1e-9)
     )
     assert rel < 0.06, rel
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    """save_quantized/load_quantized preserve int8/int4 trees exactly
+    (the pre-quantized serving cold-start path)."""
+    from rga3_tpu.ops.quant import (
+        is_quantized_dir, load_quantized, save_quantized,
+    )
+
+    rng = np.random.default_rng(11)
+    w8 = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    w4 = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    q8, s8 = quantize_int8(w8)
+    q4, sg = quantize_int4(w4)
+    tree = {"params": {"qwen": {
+        "q_proj": {"kernel_q": np.asarray(q8), "scale": np.asarray(s8)},
+        "up_proj": {"kernel_q4": np.asarray(q4),
+                    "scale_g": np.asarray(sg)},
+        "norm": {"scale": np.ones((32,), np.float32)},
+    }}}
+    out = tmp_path / "qckpt"
+    assert not is_quantized_dir(str(out / "x"))  # robust to missing dirs
+    save_quantized(tree, str(out), meta={"bits": 4, "mode": "int4",
+                                         "arch": "unigr"})
+    assert is_quantized_dir(str(out))
+    loaded, meta = load_quantized(str(out))
+    assert meta["mode"] == "int4"
+    got = loaded["params"]["qwen"]
+    assert got["q_proj"]["kernel_q"].dtype == np.int8
+    np.testing.assert_array_equal(
+        got["q_proj"]["kernel_q"], np.asarray(q8))
+    np.testing.assert_array_equal(
+        got["up_proj"]["kernel_q4"], np.asarray(q4))
+    np.testing.assert_allclose(got["up_proj"]["scale_g"], np.asarray(sg))
+    np.testing.assert_allclose(got["q_proj"]["scale"], np.asarray(s8))
