@@ -237,3 +237,42 @@ def test_vipbench_cli_item_loader(tmp_path):
     assert [it["id"] for it in items] == [2]
     assert items[0]["question"] == "q2"
     assert items[0]["image"].shape == (8, 8, 3)
+
+
+def test_videorefer_bench_q_with_stom(tmp_path):
+    """The STOM-propagation branch: a non-empty key-frame overlay routes
+    frames through propagate_in_video (LK tracker, dependency-free)."""
+    from PIL import Image
+
+    from rga3_tpu.utils import rle
+
+    rng = np.random.default_rng(5)
+    vid_dir = tmp_path / "videos" / "vidB"
+    vid_dir.mkdir(parents=True)
+    base = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    for i in range(3):
+        Image.fromarray(np.roll(base, i * 2, axis=1)).save(
+            vid_dir / f"{i:05d}.jpg"
+        )
+    mask = np.zeros((48, 64), np.uint8)
+    mask[12:36, 20:44] = 1
+    q = {
+        "video": "vidB",
+        "frame_idx": 0,
+        "annotation": [{"0": {"segmentation": rle.encode(mask)}}],
+        "Question": "Where is <object0><region>?",
+        "options": ["(A) left", "(B) right"],
+        "Answer": "(A)",
+        "type": "basic",
+    }
+    qfile = tmp_path / "q.json"
+    qfile.write_text(json.dumps([q]))
+    chat = FakeChat(["A"])
+    out = tmp_path / "preds.jsonl"
+    n = run_videorefer_bench_q(
+        chat, str(qfile), str(tmp_path / "videos"), str(out),
+        num_frames=3, use_stom=True,
+    )
+    assert n == 1
+    assert chat.calls[0]["n_frames"] == 3
+    assert json.loads(out.read_text().strip())["pred"] == "A"
