@@ -360,12 +360,23 @@ class UniGRChat:
         grids_i = enc.get("image_grid_thw", [])
         qcfg = self.model.cfg  # always a Qwen config (composite sliced in
         # __init__)
+        # right-pad to a 64-multiple so the jitted prefill graph is
+        # reused across prompt lengths (fresh compiles cost 20-60s on
+        # remote-compile backends); pads are masked via attention_mask /
+        # the cache seg plane, same machinery answer_batch uses
+        row = np.asarray(enc["input_ids"])[0]
+        lpad = len(row) + (-len(row)) % 64
+        ids_p = np.full((1, lpad), 151643, np.int64)
+        mask_p = np.zeros((1, lpad), np.int64)
+        ids_p[0, : len(row)] = row
+        mask_p[0, : len(row)] = 1
         pos, deltas = get_rope_index(
             qcfg,
-            enc["input_ids"],
+            ids_p,
             image_grid_thw=grids_i or None,
             video_grid_thw=grids_v or None,
             second_per_grid_ts=enc.get("second_per_grid_ts"),
+            attention_mask=mask_p,
         )
         patches = []
         if "pixel_values" in enc:
@@ -381,8 +392,8 @@ class UniGRChat:
             la = layout_device_args(layout, qcfg.vision)
 
         kw = dict(
-            input_ids=jnp.asarray(enc["input_ids"], jnp.int32),
-            attention_mask=jnp.asarray(enc["attention_mask"]),
+            input_ids=jnp.asarray(ids_p, jnp.int32),
+            attention_mask=jnp.asarray(mask_p),
             position_ids=jnp.asarray(pos),
             rope_deltas=jnp.asarray(deltas),
             max_new_tokens=self.max_new_tokens,
