@@ -168,17 +168,26 @@ def run_videorefer_bench_q(
             colors = rng.sample(
                 list(COLOR_POOL.keys()), len(line["annotation"])
             )
+            # pair annotation index oi -> oi-th marker in the question,
+            # exactly as the reference does (idx_list[idx], :63,:90);
+            # fall back to oi itself when an object has no <region>
+            # marker (the reference would IndexError there)
             obj_ids = [
                 int(i)
                 for i in re.findall(r"<object(\d+)><region>", question)
             ]
             cur = frames
             for oi, anno in enumerate(line["annotation"]):
+                oid = obj_ids[oi] if oi < len(obj_ids) else oi
+                # only key-frame masks are consumed (blending skips
+                # non-key frames; STOM works from the overlay) — skip
+                # the other RLE decodes
                 masks = []
-                for fi in selected:
+                for fi, kf in zip(selected, is_key):
                     seg = (anno.get(str(fi)) or {}).get("segmentation")
                     masks.append(
-                        rle_codec.decode(seg) if seg is not None
+                        rle_codec.decode(seg)
+                        if kf and seg is not None
                         else np.zeros(1)
                     )
                 color = colors[oi]
@@ -197,10 +206,10 @@ def run_videorefer_bench_q(
                     cur = blended
                 marker = f"the object within {color} {shape}"
                 question = question.replace(
-                    f"<object{obj_ids[oi]}><region>", marker
+                    f"<object{oid}><region>", marker
                 )
                 options = [
-                    o.replace(f"<object{obj_ids[oi]}>", marker)
+                    o.replace(f"<object{oid}>", marker)
                     for o in options
                 ]
 

@@ -85,7 +85,7 @@ class QwenTextConfig(ConfigBase):
     quant_int8: bool = False
     # int4 weight-only (the reference's `load_in_4bit` leg of the same
     # path): nibble-packed kernels {kernel_q4 int8, scale_g f32} with
-    # group-128 input-dim scales; convert with
+    # group-32 input-dim scales (ops.quant.INT4_GROUP); convert with
     # ops.quant.quantize_qwen_params(bits=4). Mutually exclusive with
     # quant_int8.
     quant_int4: bool = False

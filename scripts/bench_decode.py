@@ -33,8 +33,8 @@ def main():
     )
     p.add_argument(
         "--int4", action="store_true",
-        help="weight-only int4 (nibble-packed, group-128 scales): "
-        "quarters weight HBM traffic",
+        help="weight-only int4 (nibble-packed, group-32 scales): "
+        "~4x less weight HBM traffic",
     )
     args = p.parse_args()
     assert not (args.int8 and args.int4), "--int8 and --int4 are exclusive"

@@ -118,25 +118,12 @@ def main():
             ),
             meta.unbox(shapes),
         )
-        if args.int4:
-            from rga3_tpu.ops.quant import (
-                QWEN_QUANT_KEYS, VISION_QUANT_KEYS, quantize_qwen_params,
-            )
-
-            p8 = quantize_qwen_params(
-                fp["params"], keys=VISION_QUANT_KEYS, bits=8
-            )
-            return {
-                "params": quantize_qwen_params(
-                    p8, keys=QWEN_QUANT_KEYS, bits=4
-                )
-            }
-        if args.int8:
-            from rga3_tpu.ops.quant import quantize_qwen_params
+        if args.int4 or args.int8:
+            from rga3_tpu.ops.quant import quantize_for_serving
 
             return {
-                "params": quantize_qwen_params(
-                    fp["params"], include_vision=True
+                "params": quantize_for_serving(
+                    fp["params"], "int4" if args.int4 else "int8"
                 )
             }
         return fp

@@ -137,6 +137,11 @@ def main():
         from rga3_tpu.models.qwen25vl.model import Qwen25VL
 
         draft_model = draft_params = None
+        if args.draft_dir and args.batch_size != 1:
+            # speculative decoding lives on the batch-1 latency path;
+            # answer_batch would silently ignore the loaded draft
+            print("--draft_dir forces --batch_size 1", file=sys.stderr)
+            args.batch_size = 1
         if args.draft_dir:
             # speculative decoding: a smaller Qwen2.5-VL drafts, the
             # 7B verifies (token-exact greedy; batch_size must be 1)
