@@ -28,7 +28,37 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 BASELINE_TRACK_FPS = 27.0
 
 
+def _probe_device(timeout_s: int = 150) -> None:
+    """Fail fast (exit 3) when the TPU relay is unreachable — backend
+    init through a dead tunnel otherwise hangs indefinitely, which reads
+    as a bench bug rather than an infrastructure outage."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "np.asarray(jnp.ones((128,128), jnp.bfloat16)"
+        " @ jnp.ones((128,128), jnp.bfloat16))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True,
+        )
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print(
+            "bench.py: device probe failed (TPU relay unreachable?) — "
+            "no measurement possible",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+
+
 def main():
+    _probe_device()
     import jax
     import jax.numpy as jnp
 
