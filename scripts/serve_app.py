@@ -27,6 +27,12 @@ def main():
                    help="HF dir of a smaller Qwen2.5-VL used as a "
                    "speculative-decoding draft (token-exact greedy)")
     p.add_argument("--spec_k", type=int, default=4)
+    p.add_argument("--qa_batch_window_ms", type=int, default=0,
+                   help=">0 coalesces concurrent QA requests into one "
+                   "answer_batch call (decode is weight-bound: ~linear "
+                   "aggregate throughput) at up to this much added "
+                   "latency per request")
+    p.add_argument("--qa_max_batch", type=int, default=4)
     args = p.parse_args()
 
     from rga3_tpu.serve.app import UniGRService, serve
@@ -66,7 +72,14 @@ def main():
             spec_k=args.spec_k,
         )
     print(f"serving on :{args.port}", flush=True)
-    serve(UniGRService(chat=chat, segmentor=segmentor), port=args.port)
+    serve(
+        UniGRService(
+            chat=chat, segmentor=segmentor,
+            qa_batch_window_ms=args.qa_batch_window_ms,
+            qa_max_batch=args.qa_max_batch,
+        ),
+        port=args.port,
+    )
 
 
 if __name__ == "__main__":

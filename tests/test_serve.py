@@ -103,3 +103,59 @@ def test_segment_endpoint(server, tmp_path):
     assert out["num_frames"] >= 1
     m = rle.decode(out["masks"][0])
     assert m.sum() > 0
+
+
+def test_qa_batcher_coalesces_concurrent_requests():
+    """Concurrent qa() calls ride ONE answer_batch call (micro-batched
+    serving); stragglers and singletons still answer correctly."""
+    import threading
+    import time
+
+    from rga3_tpu.serve.app import QABatcher
+
+    class BatchChat:
+        def __init__(self):
+            self.batch_calls = []
+            self.single_calls = 0
+
+        def answer(self, q, video_frames=None, **kw):
+            self.single_calls += 1
+            return f"single:{q}"
+
+        def answer_batch(self, questions, video_frames_list=None, **kw):
+            self.batch_calls.append(len(questions))
+            time.sleep(0.01)
+            return [f"batched:{q}" for q in questions]
+
+    chat = BatchChat()
+    b = QABatcher(chat, max_batch=4, window_ms=80)
+    results = {}
+
+    def ask(i):
+        results[i] = b.answer(f"q{i}", [np.zeros((4, 4, 3), np.uint8)])
+
+    threads = [threading.Thread(target=ask, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert results == {i: f"batched:q{i}" for i in range(3)}
+    assert chat.batch_calls == [3]
+    # a lone request takes the single-sample path
+    assert b.answer("solo", []) == "single:solo"
+    assert chat.single_calls == 1
+
+
+def test_qa_batcher_propagates_errors():
+    from rga3_tpu.serve.app import QABatcher
+
+    class Boom:
+        def answer(self, *a, **k):
+            raise RuntimeError("model exploded")
+
+        def answer_batch(self, *a, **k):
+            raise RuntimeError("model exploded")
+
+    b = QABatcher(Boom(), max_batch=2, window_ms=10)
+    with pytest.raises(RuntimeError, match="model exploded"):
+        b.answer("q", [])
