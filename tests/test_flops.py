@@ -54,6 +54,7 @@ def test_qwen_lm_flops_vs_xla():
     assert 0.6 * got <= pred <= 1.45 * got, (pred, got)
 
 
+@pytest.mark.slow
 def test_sam2_decode_flops_vs_xla():
     from rga3_tpu.models.sam2 import tiny_sam2_config
     from rga3_tpu.models.sam2.model import Sam2Model

@@ -172,6 +172,7 @@ def test_memory_stride_selection_matches_reference_simulation():
         del n_ring
 
 
+@pytest.mark.slow
 def test_track_video_stride2(sam2):
     """Stride-2 memory selection runs and picks a different memory bank
     (different masks) than stride-1 once the rings diverge."""
