@@ -44,6 +44,8 @@ step bench_transition 1800 env RGA3_FUSED_TRANSITION=1 python bench.py
 step decode_7b_int4 1200 python scripts/bench_decode.py --size 7b --int4
 step decode_7b_int8 1200 python scripts/bench_decode.py --size 7b --int8
 step qa_7b_int4 1800 python scripts/bench_qa.py --size 7b --int4 --batch 4
+step spec_self_7b 1800 python scripts/bench_spec.py --target 7b --self_draft --k 4 --int4
+step spec_3b_draft 1800 python scripts/bench_spec.py --target 7b --draft 3b --k 4 --int4
 
 echo
 echo "PASS: ${PASS[*]:-none}"
