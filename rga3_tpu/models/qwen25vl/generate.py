@@ -343,7 +343,13 @@ def _spec_loop_fn(model, draft_model, compute_dtype, k, max_new_tokens,
 @functools.lru_cache(maxsize=16)
 def _decode_fn(model, compute_dtype, max_new_tokens, eos_token_id,
                pad_token_id, suppress_ids, temperature, top_p):
-    """Cached jitted decode scan — params as arguments, never captured."""
+    """Cached jitted decode loop — params as arguments, never captured.
+
+    lax.while_loop with an all-rows-done early exit: real answers are
+    usually much shorter than max_new_tokens (VideoRefer emits one
+    letter against a 128-token budget), and the reference's HF
+    `.generate` also stops at EOS — a fixed-length scan would pay the
+    full budget every call."""
     sup = (
         jnp.asarray(list(suppress_ids), jnp.int32) if suppress_ids else None
     )
@@ -351,9 +357,23 @@ def _decode_fn(model, compute_dtype, max_new_tokens, eos_token_id,
     @jax.jit
     def decode(params, cache, first_tok, rng, next_pos):
         b = first_tok.shape[0]
+        buf0 = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
 
-        def step(carry, i):
-            cache, tok, done, rng = carry
+        def cond(c):
+            _, _, done, _, _, i = c
+            return (i < max_new_tokens) & ~jnp.all(done)
+
+        # iteration i feeds the i-th generated token, whose sequence index
+        # is prompt_len + i, so its M-RoPE position is next_pos + i
+        # (next_pos is already last_prompt_pos + 1 = prompt_len +
+        # rope_delta).
+        def body(c):
+            cache, tok, done, rng, buf, i = c
+            emitted = jnp.where(done, pad_token_id, tok)
+            buf = jax.lax.dynamic_update_slice(
+                buf, emitted[:, None].astype(jnp.int32), (0, i)
+            )
+            done = done | (tok == eos_token_id)
             rng, sub = jax.random.split(rng)
             pos = jnp.broadcast_to(
                 (next_pos + i)[None, :, None], (3, b, 1)
@@ -370,19 +390,13 @@ def _decode_fn(model, compute_dtype, max_new_tokens, eos_token_id,
                 lg = lg.at[:, sup].set(-jnp.inf)
             nxt = _sample_token(lg, sub, temperature, top_p)
             nxt = jnp.where(done, pad_token_id, nxt)
-            emitted = jnp.where(done, pad_token_id, tok)
-            done = done | (tok == eos_token_id)
-            return (out["cache"], nxt, done, rng), emitted
+            return (out["cache"], nxt, done, rng, buf, i + 1)
 
-        done0 = jnp.zeros((b,), bool)
-        # step i feeds the i-th generated token, whose sequence index is
-        # prompt_len + i, so its M-RoPE position is next_pos + i (next_pos
-        # is already last_prompt_pos + 1 = prompt_len + rope_delta).
-        (_, _, _, _), toks = jax.lax.scan(
-            step,
-            (cache, first_tok, done0, rng),
-            jnp.arange(max_new_tokens),
+        state = (
+            cache, first_tok.astype(jnp.int32), jnp.zeros((b,), bool),
+            rng, buf0, jnp.asarray(0, jnp.int32),
         )
-        return jnp.moveaxis(toks, 0, 1)  # (B, max_new_tokens)
+        *_, buf, _ = jax.lax.while_loop(cond, body, state)
+        return buf
 
     return decode
