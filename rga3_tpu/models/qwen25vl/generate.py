@@ -30,7 +30,7 @@ def _prefill_fn(model, compute_dtype, has_vision: bool):
 
     @jax.jit
     def f(params, input_ids, position_ids, seg, cache,
-          pixel_patches, vision_layout):
+          pixel_patches, vision_layout, last_idx):
         return model.apply(
             params,
             input_ids=input_ids,
@@ -40,6 +40,7 @@ def _prefill_fn(model, compute_dtype, has_vision: bool):
             vision_layout=vision_layout if has_vision else None,
             cache=cache,
             compute_dtype=compute_dtype,
+            logits_indices=last_idx,  # head on ONE position per row
         )
 
     return f
@@ -89,17 +90,15 @@ def greedy_generate(
     )
     seg = attention_mask.astype(jnp.int32)
 
+    # last valid position per sample (right padding) — the only logits
+    # the head computes
+    last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
     out = _prefill_fn(model, compute_dtype, pixel_patches is not None)(
         params, input_ids, position_ids, seg, cache,
-        pixel_patches, vision_layout,
+        pixel_patches, vision_layout, last_idx,
     )
     cache = out["cache"]
-
-    # last valid logit per sample (right padding)
-    last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
-    logits = jnp.take_along_axis(
-        out["logits"], last_idx[:, None, None], axis=1
-    )[:, 0]
+    logits = out["logits"][:, 0]
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -183,23 +182,21 @@ def speculative_greedy_generate(
         dtype=compute_dtype,
     )
 
+    last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
     out = _prefill_fn(model, compute_dtype, pixel_patches is not None)(
         params, input_ids, position_ids, seg, tcache,
-        pixel_patches, vision_layout,
+        pixel_patches, vision_layout, last_idx,
     )
     tcache = out["cache"]
     dout = _prefill_fn(
         draft_model, compute_dtype, draft_pixel_patches is not None
     )(
         draft_params, input_ids, position_ids, seg, dcache,
-        draft_pixel_patches, draft_vision_layout,
+        draft_pixel_patches, draft_vision_layout, last_idx,
     )
     dcache = dout["cache"]
 
-    last_idx = jnp.sum(attention_mask, axis=1).astype(jnp.int32) - 1
-    logits = jnp.take_along_axis(
-        out["logits"], last_idx[:, None, None], axis=1
-    )[:, 0].astype(jnp.float32)
+    logits = out["logits"][:, 0].astype(jnp.float32)
     sup = jnp.asarray(list(suppress_ids), jnp.int32) if suppress_ids else None
     if sup is not None:
         logits = logits.at[:, sup].set(-jnp.inf)

@@ -468,6 +468,7 @@ class QwenForCausalLM(nn.Module):
         segment_ids: Optional[jnp.ndarray] = None,
         cache: Optional[Dict[str, Any]] = None,
         compute_dtype: Any = jnp.float32,
+        logits_indices: Optional[jnp.ndarray] = None,  # (B,) positions
     ):
         if inputs_embeds is None:
             inputs_embeds = self.embed_tokens(input_ids)
@@ -481,7 +482,16 @@ class QwenForCausalLM(nn.Module):
         hidden, new_cache = self.model(
             inputs_embeds, position_ids, segment_ids, cache
         )
-        logits = self.head(hidden)
+        if logits_indices is not None:
+            # generate-style callers consume ONE position per row: skip
+            # the (B, L, vocab) head matmul + HBM writes (~8% of a 512-
+            # token prefill) and emit (B, 1, vocab)
+            sel = jnp.take_along_axis(
+                hidden, logits_indices[:, None, None], axis=1
+            )
+            logits = self.head(sel)
+        else:
+            logits = self.head(hidden)
         return {
             "logits": logits,
             "hidden_states": hidden,

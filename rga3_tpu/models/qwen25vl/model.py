@@ -67,6 +67,7 @@ class Qwen25VL(nn.Module):
         vision_layout: Optional[Dict[str, Any]] = None,
         cache: Optional[Dict[str, Any]] = None,
         compute_dtype=jnp.float32,
+        logits_indices: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         embeds = self.lm.embed(input_ids)
         if pixel_patches is not None:
@@ -83,4 +84,5 @@ class Qwen25VL(nn.Module):
             segment_ids=segment_ids,
             cache=cache,
             compute_dtype=compute_dtype,
+            logits_indices=logits_indices,
         )
