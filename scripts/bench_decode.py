@@ -107,8 +107,9 @@ def main():
         out = model.apply(
             params, input_ids=ids, cache=cache,
             compute_dtype=jnp.bfloat16,
+            logits_indices=jnp.full((B,), L - 1, jnp.int32),
         )
-        tok = jnp.argmax(out["logits"][:, -1], axis=-1).astype(jnp.int32)
+        tok = jnp.argmax(out["logits"][:, 0], axis=-1).astype(jnp.int32)
         return out["cache"], tok
 
     @jax.jit
