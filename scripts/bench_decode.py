@@ -74,25 +74,28 @@ def main():
         lambda k: init_model.init(k, input_ids=ids), key
     )
 
-    @jax.jit
     def make_params(k):
         from flax.core import meta
 
-        fp = jax.tree.map(
-            lambda s: (jax.random.normal(k, s.shape) * 0.02).astype(
-                jnp.bfloat16
-            ),
-            meta.unbox(shapes),
-        )
         if quant:
-            from rga3_tpu.ops.quant import quantize_qwen_params
+            # leaf-wise generate+quantize: a single whole-tree jit peaks
+            # at fp + quantized + temps, which OOMs 7B on a 16G chip
+            from rga3_tpu.ops.quant import random_quantized_params
 
             return {
-                "params": quantize_qwen_params(
-                    fp["params"], bits=4 if args.int4 else 8
+                "params": random_quantized_params(
+                    meta.unbox(shapes)["params"], bits=4 if args.int4 else 8
                 )
             }
-        return fp
+        gen = jax.jit(
+            lambda kk: jax.tree.map(
+                lambda s: (jax.random.normal(kk, s.shape) * 0.02).astype(
+                    jnp.bfloat16
+                ),
+                meta.unbox(shapes),
+            )
+        )
+        return gen(k)
 
     t0 = time.time()
     params = make_params(key)

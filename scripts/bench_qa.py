@@ -110,23 +110,27 @@ def main():
     )
     from flax.core import meta
 
-    @jax.jit
     def make_params(k):
-        fp = jax.tree.map(
-            lambda s: (jax.random.normal(k, s.shape) * 0.02).astype(
-                jnp.bfloat16
-            ),
-            meta.unbox(shapes),
-        )
         if args.int4 or args.int8:
-            from rga3_tpu.ops.quant import quantize_for_serving
+            # leaf-wise generate+quantize: a single whole-tree jit peaks
+            # at fp + quantized + temps, which OOMs 7B on a 16G chip
+            from rga3_tpu.ops.quant import random_serving_params
 
             return {
-                "params": quantize_for_serving(
-                    fp["params"], "int4" if args.int4 else "int8"
+                "params": random_serving_params(
+                    meta.unbox(shapes)["params"],
+                    "int4" if args.int4 else "int8",
                 )
             }
-        return fp
+        gen = jax.jit(
+            lambda kk: jax.tree.map(
+                lambda s: (jax.random.normal(kk, s.shape) * 0.02).astype(
+                    jnp.bfloat16
+                ),
+                meta.unbox(shapes),
+            )
+        )
+        return gen(k)
 
     t0 = time.time()
     params = make_params(jax.random.PRNGKey(0))

@@ -68,21 +68,22 @@ def main():
             jax.random.PRNGKey(0),
         )
 
-        @jax.jit
         def make(k):
             from flax.core import meta
 
-            fp = jax.tree.map(
-                lambda s: (jax.random.normal(k, s.shape) * 0.02).astype(
+            if args.int8 or args.int4:
+                # leaf-wise generate+quantize (whole-tree jit OOMs at 7B)
+                from rga3_tpu.ops.quant import random_quantized_params
+
+                return {"params": random_quantized_params(
+                    meta.unbox(shapes)["params"],
+                    bits=4 if args.int4 else 8)}
+            gen = jax.jit(lambda kk: jax.tree.map(
+                lambda s: (jax.random.normal(kk, s.shape) * 0.02).astype(
                     jnp.bfloat16),
                 meta.unbox(shapes),
-            )
-            if args.int8 or args.int4:
-                from rga3_tpu.ops.quant import quantize_qwen_params
-
-                return {"params": quantize_qwen_params(
-                    fp["params"], bits=4 if args.int4 else 8)}
-            return fp
+            ))
+            return gen(k)
 
         params = make(jax.random.PRNGKey(1))
         jax.block_until_ready(params)

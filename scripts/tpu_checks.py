@@ -227,6 +227,22 @@ def main():
     for kk in pt:
         close(f"grad {kk}", gf[kk], gr[kk], 1e-2)
 
+    # --- int4 dequant-matmul kernel (ops/quant.py) vs the XLA halves path
+    from rga3_tpu.ops.quant import (
+        _int4_unpack_halves, int4_matmul, quantize_int4,
+    )
+
+    for (IN, OUT, M) in [(512, 512, 1), (3584, 512, 3), (18944, 256, 16)]:
+        w4 = jnp.asarray(rng.normal(size=(IN, OUT)) * 0.05, jnp.float32)
+        x4 = jnp.asarray(rng.normal(size=(M, IN)), jnp.bfloat16)
+        q4, sg = quantize_int4(w4)
+        wl, wh = _int4_unpack_halves(q4, sg, jnp.bfloat16)
+        ref4 = x4[..., : IN // 2] @ wl + x4[..., IN // 2:] @ wh
+        close(
+            f"int4 kernel {IN}x{OUT} M={M}",
+            int4_matmul(x4, q4, sg), ref4, 5e-2,
+        )
+
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)

@@ -271,3 +271,53 @@ def test_quantized_checkpoint_roundtrip(tmp_path):
         got["up_proj"]["kernel_q4"], np.asarray(q4))
     np.testing.assert_allclose(got["up_proj"]["scale_g"], np.asarray(sg))
     np.testing.assert_allclose(got["q_proj"]["scale"], np.asarray(s8))
+
+
+def test_int4_pallas_kernel_interpret_matches_fallback():
+    """The TPU dequant-matmul kernel (interpret mode) against the XLA
+    halves path, across the dispatch regimes: group-32 scales (half %
+    256 == 0), per-channel scales, and odd shapes that fall back."""
+    from rga3_tpu.ops.quant import _int4_unpack_halves
+
+    rng = np.random.default_rng(3)
+    for in_dim, out, m in [(512, 512, 1), (512, 384, 5), (96, 128, 2)]:
+        w = jnp.asarray(rng.normal(size=(in_dim, out)) * 0.05, jnp.float32)
+        x = jnp.asarray(rng.normal(size=(m, in_dim)), jnp.float32)
+        q4, sg = quantize_int4(w)
+        wl, wh = _int4_unpack_halves(q4, sg, x.dtype)
+        ref = x[..., : in_dim // 2] @ wl + x[..., in_dim // 2:] @ wh
+        out_k = int4_matmul(x, q4, sg, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(ref), rtol=5e-2, atol=5e-2
+        )
+
+
+def test_int4_random_quantized_params_matches_whole_tree():
+    """random_quantized_params (leaf-wise jits) produces the same tree
+    structure/dtypes as quantize_qwen_params over a full fp tree."""
+    import jax
+
+    from rga3_tpu.models.qwen25vl import tiny_config
+    from rga3_tpu.models.qwen25vl.language import QwenForCausalLM
+    from rga3_tpu.ops.quant import random_quantized_params
+
+    cfg = tiny_config().text
+    model = QwenForCausalLM(cfg)
+    ids = jnp.zeros((1, 4), jnp.int32)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, input_ids=ids), jax.random.PRNGKey(0)
+    )
+    from flax.core import meta
+
+    got = random_quantized_params(meta.unbox(shapes)["params"], bits=4)
+    fp = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16),
+        meta.unbox(shapes)["params"],
+    )
+    want = quantize_qwen_params(fp, bits=4)
+    gl = jax.tree_util.tree_flatten_with_path(got)[0]
+    wl = jax.tree_util.tree_flatten_with_path(want)[0]
+    assert [p for p, _ in gl] == [p for p, _ in wl]
+    for (p, g), (_, w) in zip(gl, wl):
+        assert g.shape == w.shape, (p, g.shape, w.shape)
+        assert g.dtype == w.dtype, (p, g.dtype, w.dtype)
