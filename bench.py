@@ -28,10 +28,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 BASELINE_TRACK_FPS = 27.0
 
 
-def _probe_device(timeout_s: int = 150) -> None:
+def _probe_device(timeout_s: int = 150, attempts: int = 3) -> None:
     """Fail fast (exit 3) when the TPU relay is unreachable — backend
     init through a dead tunnel otherwise hangs indefinitely, which reads
-    as a bench bug rather than an infrastructure outage."""
+    as a bench bug rather than an infrastructure outage. Retries: the
+    shared relay occasionally drops a single request while healthy (a
+    one-shot probe aborted a full bench run on a live chip once)."""
     import subprocess
     import sys
 
@@ -40,21 +42,30 @@ def _probe_device(timeout_s: int = 150) -> None:
         "np.asarray(jnp.ones((128,128), jnp.bfloat16)"
         " @ jnp.ones((128,128), jnp.bfloat16))"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True,
-        )
-        ok = r.returncode == 0
-    except subprocess.TimeoutExpired:
-        ok = False
-    if not ok:
+    last = ""
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+            last = (r.stderr or b"").decode(errors="replace")[-500:]
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {timeout_s}s"
         print(
-            "bench.py: device probe failed (TPU relay unreachable?) — "
-            "no measurement possible",
+            f"bench.py: device probe attempt {attempt + 1}/{attempts} "
+            f"failed: {last.splitlines()[-1] if last else 'unknown'}",
             file=sys.stderr,
         )
-        raise SystemExit(3)
+        time.sleep(10)
+    print(
+        "bench.py: device probe failed (TPU relay unreachable?) — "
+        "no measurement possible",
+        file=sys.stderr,
+    )
+    raise SystemExit(3)
 
 
 def main():

@@ -30,6 +30,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -62,6 +63,16 @@ def _vmem_budget_bytes() -> int:
     bigger budget (set both together)."""
     mib = _os.environ.get("RGA3_SCOPED_VMEM_MIB", "")
     return (int(mib) if mib else 14) * 2**20
+
+
+def _transition_vmem_limit_bytes() -> int:
+    """Mosaic scoped-vmem ceiling for the transition kernel (which sets
+    compiler_params itself, unlike the XLA-flag-governed fused block).
+    Well above the block-sizing target so a modest estimator error
+    degrades pipelining instead of failing the compile, and big enough
+    that the stage-4 entry block (29 MB of bf16 weights at k_w=1) can
+    stay VMEM-resident; v5e VMEM is 128 MiB total."""
+    return min(max(2 * _vmem_budget_bytes(), 64 * 2**20), 100 * 2**20)
 
 
 def _gelu_f32(x, tanh: bool = True):
@@ -981,6 +992,13 @@ def _transition_call(
         out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((b, l_out, c_out), x.dtype),
         interpret=interpret,
+        # block sizing targets _vmem_budget_bytes(); raise the Mosaic
+        # scoped-vmem ceiling well above it so a modest estimator error
+        # degrades pipelining instead of failing the whole compile (the
+        # r2b chip session died on XLA's default 16 MiB scope here)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_transition_vmem_limit_bytes(),
+        ),
     )(
         x, ln1_g, ln1_b, wproj, bproj, wqkv, bqkv, wattn, battn,
         ln2_g, ln2_b, w1, b1, w2, b2,
@@ -1120,21 +1138,30 @@ def fused_transition_block(
         k_w -= 1
 
     def vmem_bytes(kw):
+        t_in = kw * win
+        t_out = kw * win // 4
         weights = 2 * (
             c_in * (c_out + 3 * c_out) + c_out * c_out + 2 * c_out * f
         )
-        toks = 2 * 2 * kw * win * c_in  # in, double-buffered, bf16
-        scores = (kw * win // 4) * (kw * win) * 4  # f32, per head serial
-        temps = kw * win * (3 * c_out + c_out) * 2 + kw * win // 4 * f * 4
-        return weights + toks + scores + temps
+        toks = 2 * 2 * t_in * c_in  # in, double-buffered, bf16
+        out = 2 * 2 * t_out * c_out  # out, double-buffered, bf16
+        scores = t_out * t_in * 4  # f32, per head serial
+        # dot outputs materialize in f32 before the bf16 cast (Mosaic does
+        # not fuse the cast into the matmul): ln1, proj, qkv, h1 — the r2b
+        # chip session measured 17.34M actual vs a 11.7M estimate without
+        # these, which tripped the scoped-vmem compile limit
+        f32_tmps = 4 * (t_in * c_in + t_in * c_out + t_in * 3 * c_out
+                        + t_out * f)
+        temps = t_in * (3 * c_out + c_out) * 2 + t_out * f * 2
+        return weights + toks + out + scores + f32_tmps + temps
 
     while k_w > 1 and vmem_bytes(k_w) > _vmem_budget_bytes():
         k_w //= 2
         while n_win % k_w != 0:
             k_w -= 1
-    if vmem_bytes(k_w) > _vmem_budget_bytes():
-        # weights alone exceed the scoped limit (Hiera-L block 44 at the
-        # default 16 MiB) — run the XLA reference instead
+    if vmem_bytes(k_w) > _transition_vmem_limit_bytes() - 4 * 2**20:
+        # even k_w=1 exceeds the raised Mosaic ceiling (huge dims) — run
+        # the XLA reference instead of failing the compile
         return _reference_transition(
             x, params, num_heads=num_heads, ws=ws, eps=eps, scale=scale,
             gelu_tanh=gelu_tanh,
