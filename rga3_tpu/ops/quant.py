@@ -142,13 +142,16 @@ def _int4_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # unpack in the int8 domain: nibble shifts on int8 vregs are 4x
-    # denser on the VPU than after an int32 upcast (the dequant is
-    # VPU-bound, not HBM-bound, at these byte counts)
-    p = q_ref[:]
+    # unpack in int32: Mosaic does not legalize arith.shrsi on int8
+    # vectors on v5e (the int8-domain version failed to compile with
+    # "failed to legalize operation 'arith.shrsi'" on
+    # vector<8x128x4xi8>), so upcast first — int32 shifts lower fine.
+    # The sign extension of the i8->i32 cast makes hi = p >> 4 correct
+    # directly; lo needs the shift-up/shift-down pair.
+    p = q_ref[:].astype(jnp.int32)
     hi = jnp.right_shift(p, 4)  # top nibble carries the byte's sign
-    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)  # arithmetic
-    hb, ob = p.shape
+    lo = jnp.right_shift(jnp.left_shift(p, 28), 28)  # arithmetic
+    hb, ob = q_ref.shape
     x_dtype = x_lo_ref.dtype
 
     if gs == 0:  # per-channel
