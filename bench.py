@@ -93,9 +93,10 @@ def main():
         cfg = cfg.replace(
             hiera=cfg.hiera.replace(fused_block_q_large=int(bql))
         )
-    if os.environ.get("RGA3_FUSED_TRANSITION"):  # A/B the q-pool kernel
+    ft = os.environ.get("RGA3_FUSED_TRANSITION")  # A/B the q-pool kernel
+    if ft:
         cfg = cfg.replace(
-            hiera=cfg.hiera.replace(use_fused_transition=True)
+            hiera=cfg.hiera.replace(use_fused_transition=ft != "0")
         )
     model = Sam2Model(cfg)
     rng = np.random.default_rng(0)

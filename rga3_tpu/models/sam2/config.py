@@ -57,11 +57,11 @@ class HieraConfig(ConfigBase):
     # D=1152, whose 32 MB of weights cannot stay VMEM-resident)
     use_split_fused_block: bool = True
     # fused kernel for the 3 q-pool stage-transition blocks
-    # (ops/fused_block.fused_transition_block). Default OFF: the kernel
-    # is interpret-mode tested but NOT yet validated on real TPU (relay
-    # outage) — flip after scripts/tpu_checks.py passes on chip and the
-    # A/B shows a win.
-    use_fused_transition: bool = False
+    # (ops/fused_block.fused_transition_block). Default ON: validated on
+    # chip (scripts/tpu_checks.py fwd+grad green) and the bench A/B wins
+    # — tracking 38.97 vs 35.35 fps, batched decode 53.43 vs 47.51 fps
+    # (v5e, interleaved runs). RGA3_FUSED_TRANSITION=0 disables for A/B.
+    use_fused_transition: bool = True
 
     @property
     def depth(self) -> int:

@@ -87,6 +87,13 @@ class RoPEAttention(nn.Module):
             # cross-attention would otherwise materialize ~470 MB per
             # layer). Key validity rides the kv segment ids (q seg 1
             # matches only kv seg 1).
+            # Edge case: with ZERO valid keys the two branches differ —
+            # the dense branch's -1e30 masking softmaxes to uniform
+            # (output = mean of V) while the flash segment-id masking
+            # returns zeros. Callers must guarantee >=1 valid key;
+            # track_video always does (the cond-frame memory slot is
+            # valid from frame 0 onward), so the case is unreachable in
+            # the video predictor.
             from ...ops.attention import flash_attention
 
             q_seg = jnp.ones((b, lq), jnp.int32)

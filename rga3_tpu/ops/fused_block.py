@@ -852,6 +852,58 @@ def fused_window_block(
 # ---------------------------------------------------------------------------
 
 
+def transition_vmem_bytes(
+    kw: int, win: int, c_in: int, c_out: int, f: int
+) -> int:
+    """Scoped-VMEM estimate for one transition-kernel grid step.
+
+    Counts resident weights, double-buffered in/out blocks, the f32
+    attention scores, and the f32 matmul outputs that materialize before
+    the bf16 casts (Mosaic does not fuse the cast into the matmul) — the
+    r2b chip session measured 17.34M actual vs an 11.7M estimate without
+    the f32 terms, which tripped the 16 MiB scoped-vmem compile limit."""
+    t_in = kw * win
+    t_out = kw * win // 4
+    weights = 2 * (
+        c_in * (c_out + 3 * c_out) + c_out * c_out + 2 * c_out * f
+    )
+    toks = 2 * 2 * t_in * c_in  # in, double-buffered, bf16
+    out = 2 * 2 * t_out * c_out  # out, double-buffered, bf16
+    scores = t_out * t_in * 4  # f32, per head serial
+    f32_tmps = 4 * (
+        t_in * c_in + t_in * c_out + t_in * 3 * c_out + t_out * f
+    )
+    temps = t_in * (3 * c_out + c_out) * 2 + t_out * f * 2
+    return weights + toks + out + scores + f32_tmps + temps
+
+
+def _pick_transition_block_windows(
+    n_win: int, win: int, c_in: int, c_out: int, f: int,
+    block_windows: Optional[int] = None,
+) -> Optional[int]:
+    """Choose windows-per-grid-step for the transition kernel.
+
+    Targets ~256 query rows per step (fills the MXU M dim), halves while
+    the VMEM estimate exceeds the sizing budget, and returns None when
+    even k_w=1 would blow the raised Mosaic ceiling (fall back to XLA)."""
+    if block_windows is None:
+        block_windows = max(1, 256 // (win // 4))
+    k_w = min(block_windows, n_win)
+    while n_win % k_w != 0:
+        k_w -= 1
+    while k_w > 1 and (
+        transition_vmem_bytes(k_w, win, c_in, c_out, f)
+        > _vmem_budget_bytes()
+    ):
+        k_w //= 2
+        while n_win % k_w != 0:
+            k_w -= 1
+    if (transition_vmem_bytes(k_w, win, c_in, c_out, f)
+            > _transition_vmem_limit_bytes() - 4 * 2**20):
+        return None
+    return k_w
+
+
 def _pool_win_2x2(t: jnp.ndarray, k_w: int, ws: int) -> jnp.ndarray:
     """(k_w*ws*ws, C) window-major row-major tokens -> 2x2 spatial max
     per window -> (k_w*(ws//2)**2, C). Never straddles window borders
@@ -1130,36 +1182,10 @@ def fused_transition_block(
             gelu_tanh=gelu_tanh,
         )
 
-    if block_windows is None:
-        # target ~256 query rows per grid step (fills the MXU M dim)
-        block_windows = max(1, 256 // (win // 4))
-    k_w = min(block_windows, n_win)
-    while n_win % k_w != 0:
-        k_w -= 1
-
-    def vmem_bytes(kw):
-        t_in = kw * win
-        t_out = kw * win // 4
-        weights = 2 * (
-            c_in * (c_out + 3 * c_out) + c_out * c_out + 2 * c_out * f
-        )
-        toks = 2 * 2 * t_in * c_in  # in, double-buffered, bf16
-        out = 2 * 2 * t_out * c_out  # out, double-buffered, bf16
-        scores = t_out * t_in * 4  # f32, per head serial
-        # dot outputs materialize in f32 before the bf16 cast (Mosaic does
-        # not fuse the cast into the matmul): ln1, proj, qkv, h1 — the r2b
-        # chip session measured 17.34M actual vs a 11.7M estimate without
-        # these, which tripped the scoped-vmem compile limit
-        f32_tmps = 4 * (t_in * c_in + t_in * c_out + t_in * 3 * c_out
-                        + t_out * f)
-        temps = t_in * (3 * c_out + c_out) * 2 + t_out * f * 2
-        return weights + toks + out + scores + f32_tmps + temps
-
-    while k_w > 1 and vmem_bytes(k_w) > _vmem_budget_bytes():
-        k_w //= 2
-        while n_win % k_w != 0:
-            k_w -= 1
-    if vmem_bytes(k_w) > _transition_vmem_limit_bytes() - 4 * 2**20:
+    k_w = _pick_transition_block_windows(
+        n_win, win, c_in, c_out, f, block_windows=block_windows
+    )
+    if k_w is None:
         # even k_w=1 exceeds the raised Mosaic ceiling (huge dims) — run
         # the XLA reference instead of failing the compile
         return _reference_transition(

@@ -40,9 +40,10 @@ def main():
     from rga3_tpu.models.sam2.video import track_video
 
     cfg = SAM2_HIERA_L
-    if os.environ.get("RGA3_FUSED_TRANSITION"):  # A/B the q-pool kernel
+    ft = os.environ.get("RGA3_FUSED_TRANSITION")  # A/B the q-pool kernel
+    if ft:
         cfg = cfg.replace(
-            hiera=cfg.hiera.replace(use_fused_transition=True)
+            hiera=cfg.hiera.replace(use_fused_transition=ft != "0")
         )
     model = Sam2Model(cfg)
     rng = np.random.default_rng(0)

@@ -355,3 +355,44 @@ def test_fused_transition_is_differentiable():
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_transition_block_sizing_hiera_l_shapes():
+    """Pin the transition kernel's windows-per-step choice at the real
+    Hiera-L 1024^2 stage-entry shapes so estimator regressions are caught
+    on CPU. The r2b chip session OOMed the 16 MiB scoped-vmem compile at
+    the stage-3 entry because the estimate missed the f32 matmul outputs;
+    the fix must keep every chosen step's estimate under the Mosaic
+    ceiling with margin."""
+    from rga3_tpu.ops.fused_block import (
+        _pick_transition_block_windows,
+        _transition_vmem_limit_bytes,
+        transition_vmem_bytes,
+    )
+
+    # (n_win, win, c_in, c_out, f) as MultiScaleBlock passes them at
+    # image_size 1024. Stage entries use the PREVIOUS stage's window spec
+    # (hiera.py: window size lags one block behind the stage transition),
+    # so with window_spec (8, 4, 16, 8): block 2 ws=8, block 8 ws=4,
+    # block 44 ws=16.
+    cases = [
+        # block 2: 256x256 tokens, ws=8, 144 -> 288
+        ((256 * 256) // 64, 64, 144, 288, 4 * 288),
+        # block 8: 128x128 tokens, ws=4, 288 -> 576 (the r2b OOM block)
+        ((128 * 128) // 16, 16, 288, 576, 4 * 576),
+        # block 44: 64x64 tokens, ws=16, 576 -> 1152 (29 MB of weights:
+        # only representable at all because of the raised Mosaic ceiling)
+        ((64 * 64) // 256, 256, 576, 1152, 4 * 1152),
+    ]
+    limit = _transition_vmem_limit_bytes() - 4 * 2**20
+    for n_win, win, c_in, c_out, f in cases:
+        k_w = _pick_transition_block_windows(n_win, win, c_in, c_out, f)
+        assert k_w is not None, (n_win, win, c_in, c_out)
+        assert n_win % k_w == 0
+        est = transition_vmem_bytes(k_w, win, c_in, c_out, f)
+        assert est <= limit, (k_w, est, limit)
+    # the r2b failure: at block 8 the old estimator picked a step whose
+    # true footprint was 17.34M (> the 16 MiB default scope); the honest
+    # estimate must keep the chosen step within the sizing budget
+    k_w = _pick_transition_block_windows(1024, 16, 288, 576, 2304)
+    assert transition_vmem_bytes(k_w, 16, 288, 576, 2304) <= 14 * 2**20
