@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import random
+import threading
 from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -93,7 +94,9 @@ class ImgVidHybridDataset:
             )
         r = np.asarray(rates, np.float64)
         self.rates = r / r.sum()
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self._global_lock = threading.Lock()
 
     def __len__(self):
         return self.samples_per_epoch
@@ -103,3 +106,30 @@ class ImgVidHybridDataset:
             int(self.rng.choice(len(self.all_datasets), p=self.rates))
         ]
         return ds.sample()
+
+    def sample_global(self, global_idx: int) -> TrainSample:
+        """Deterministic sample as a pure function of (seed, global_idx).
+
+        Multi-host training requires every host to agree on the content of
+        global batch row k (the replicated vision arrays carry tokens from
+        ALL rows), so instead of the reference's per-rank DataLoader RNG
+        (train_joint.py:336-346) the global sample index seeds both the
+        dataset-choice RNG and the stdlib/np global RNGs the per-task
+        samplers draw from. Also makes single-host batch composition
+        reproducible under threaded prefetch.
+        """
+        import random as _random
+
+        # the per-task samplers draw from the process-global random/np
+        # RNGs, so seeding + sampling must be atomic under threaded
+        # prefetch or interleaved draws would desync hosts
+        with self._global_lock:
+            ss = np.random.SeedSequence([self.seed, int(global_idx)])
+            s_choice, s_py, s_np = ss.generate_state(3)
+            rng = np.random.default_rng(s_choice)
+            _random.seed(int(s_py))
+            np.random.seed(int(s_np) % 2**32)
+            ds = self.all_datasets[
+                int(rng.choice(len(self.all_datasets), p=self.rates))
+            ]
+            return ds.sample()

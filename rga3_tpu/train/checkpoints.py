@@ -37,11 +37,22 @@ class CheckpointManager:
         return os.path.join(self.ckpt_dir, f"ckpt_{tag}")
 
     def save(self, tag: str, state: Any, *, force: bool = True) -> None:
+        """Save a state pytree. Multi-process: every process must call
+        this with the same global (sharded) jax.Arrays — Orbax writes each
+        process's addressable shards (the DeepSpeed-engine-checkpoint
+        equivalent, ref train_joint.py:426-461); rmtree/meta writes are
+        rank-0 with barriers (ref's barrier-guarded rmtree :427-431)."""
+        import jax
+
         path = self._path(tag)
-        if os.path.exists(path):
+        if jax.process_index() == 0 and os.path.exists(path):
             import shutil
 
             shutil.rmtree(path)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_rm_{tag}")
         self._ckptr.save(path, state)
         self._ckptr.wait_until_finished()
 
@@ -56,26 +67,37 @@ class CheckpointManager:
         self, state: Any, epoch: int, metric: Optional[float] = None,
         higher_is_better: bool = True,
     ) -> bool:
-        """Save latest; save best when metric improves. Returns is_best."""
+        """Save latest; save best when metric improves. Returns is_best.
+
+        Multi-process: all processes call this (Orbax needs every rank's
+        shards); the is-best decision is made from the rank-0 meta file —
+        callers must pass the same `metric` on every rank (see
+        `parallel.distributed.broadcast_scalar`)."""
+        import jax
+
         self.save("latest", state)
         meta = self.read_meta()
         meta["last_epoch"] = epoch
         is_best = False
         if metric is not None:
             best = meta.get("best_metric")
-            better = (
+            is_best = (
                 best is None
                 or (metric > best if higher_is_better else metric < best)
             )
-            if better:
+            if is_best:
                 meta["best_metric"] = metric
                 meta["best_epoch"] = epoch
                 self.save("best", state)
-                is_best = True
             meta.setdefault("history", []).append(
                 {"epoch": epoch, "metric": metric}
             )
-        self.write_meta(meta)
+        if jax.process_index() == 0:
+            self.write_meta(meta)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ckpt_meta")
         return is_best
 
     def resume_epoch(self) -> int:

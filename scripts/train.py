@@ -67,6 +67,19 @@ def parse_args():
     p.add_argument("--no_eval", action="store_true",
                    help="skip the per-epoch ReasonSeg-val gIoU/cIoU loop")
     p.add_argument("--val_samples", type=int, default=200)
+    # multi-host launch (ref torchrun --nnodes/--node_rank/--master_addr,
+    # run_torchrun.sh:6-23); also read from COORDINATOR_ADDRESS /
+    # NUM_PROCESSES / PROCESS_ID env vars
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 (enables jax.distributed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--local_devices", type=int, default=None,
+                   help="force N virtual host devices (CPU testing)")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override, e.g. cpu (testing)")
+    p.add_argument("--loss_log", default=None,
+                   help="write per-step loss JSON here (rank 0)")
     p.add_argument("--config", default=None,
                    help="JSON config file; CLI flags override")
     args = p.parse_args()
@@ -83,6 +96,18 @@ def parse_args():
 
 def main():
     args = parse_args()
+    # multi-host init must precede any other jax use (ref NCCL pg init
+    # before model build, train_joint.py:132-134)
+    from rga3_tpu.parallel.distributed import (
+        broadcast_scalar, init_distributed, put_global, replicate_to_host,
+    )
+
+    proc_id = init_distributed(
+        args.coordinator_address, args.num_processes, args.process_id,
+        local_device_count=args.local_devices, platform=args.platform,
+    )
+    is_main = proc_id == 0
+
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -103,12 +128,15 @@ def main():
     from rga3_tpu.train.step import build_train_step, make_train_state
     from rga3_tpu.utils.meters import AverageMeter, ProgressMeter
 
-    n_dev = jax.device_count()
+    n_dev = jax.device_count()  # GLOBAL device count across all hosts
     fsdp = args.mesh_fsdp or (n_dev // (args.mesh_data * args.mesh_tensor))
     mesh = make_mesh(
         MeshConfig(data=args.mesh_data, fsdp=fsdp, tensor=args.mesh_tensor)
     )
-    print(f"mesh: {dict(mesh.shape)}", flush=True)
+    n_proc = jax.process_count()
+    if is_main:
+        print(f"mesh: {dict(mesh.shape)} over {n_proc} process(es)",
+              flush=True)
 
     # ---- processor & tokenizer (adds [SEG]) ----
     processor = QwenVLProcessor.from_pretrained(args.model_dir)
@@ -177,7 +205,11 @@ def main():
         leaf = node.get(path[-1]) if isinstance(node, dict) else None
         if leaf is not None and tuple(np.shape(leaf)) == tuple(shape_leaf.shape):
             return np.asarray(leaf, np.float32)
-        rng = np.random.default_rng(hash("/".join(path)) % 2**32)
+        # zlib.crc32, not hash(): str hash is salted per process, and
+        # every host must initialize identical params (multi-host SPMD)
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32("/".join(path).encode()))
         if path[-1].endswith("lora_b") or "bias" in path[-1]:
             return np.zeros(shape_leaf.shape, np.float32)
         return rng.normal(0, 0.02, shape_leaf.shape).astype(np.float32)
@@ -246,16 +278,18 @@ def main():
         ckpt = CheckpointManager(args.ckpt_dir)
         start_epoch = ckpt.resume_epoch() if args.auto_resume else 0
         if start_epoch > 0:
-            print(f"resuming from epoch {start_epoch}", flush=True)
+            if is_main:
+                print(f"resuming from epoch {start_epoch}", flush=True)
             state = ckpt.restore("latest", state)
 
-        writer = None
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        writer = None  # rank-0 only (ref train_joint.py:140-145)
+        if is_main:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
 
-            writer = SummaryWriter(os.path.join(args.ckpt_dir, "tb"))
-        except Exception:
-            pass
+                writer = SummaryWriter(os.path.join(args.ckpt_dir, "tb"))
+            except Exception:
+                pass
 
         def batch_axis_spec(size):
             """Largest mesh-axis combo that divides the batch size."""
@@ -269,6 +303,12 @@ def main():
             return None
 
         def stage(batch_np):
+            """Host batch -> global sharded arrays. Every host assembles
+            the full batch deterministically (sample_global), feeds only
+            its local rows of the batch-sharded arrays
+            (jax.make_array_from_process_local_data inside put_global),
+            and replicates the vision arrays (token order is global
+            across the batch, not per-shard)."""
             out = {}
             for k, v in batch_np.items():
                 spec = [None] * (v.ndim)
@@ -276,11 +316,7 @@ def main():
                     spec[2] = batch_axis_spec(v.shape[2])
                 elif not (k == "pixel_patches" or k.startswith("vl_")):
                     spec[1] = batch_axis_spec(v.shape[1])
-                # vision arrays stay replicated (token order is global
-                # across the batch, not per-shard)
-                out[k] = jax.device_put(
-                    jnp.asarray(v), NamedSharding(mesh, P(*spec))
-                )
+                out[k] = put_global(mesh, P(*spec), v)
             return out
 
         micro = args.micro_batch_size * max(mesh.shape.get("data", 1), 1)
@@ -291,11 +327,15 @@ def main():
             micro * max(args.num_frames_mllm // 2, 1) * per_frame_patches
         )
         vision_budget = -(-vision_budget // 4) * 4
-        def make_accum_batch():
+        def make_accum_batch(batch_idx):
+            """Accumulation batch `batch_idx` — identical on every host
+            (content is a pure function of the global sample index)."""
             micro_batches = []
-            for _ in range(args.grad_accum_steps):
+            batch_idx += start_epoch * args.steps_per_epoch  # resume offset
+            for a in range(args.grad_accum_steps):
+                base = (batch_idx * args.grad_accum_steps + a) * micro
                 samples = [
-                    train_ds[0] for _ in range(micro)
+                    train_ds.sample_global(base + r) for r in range(micro)
                 ]
                 c = collate(
                     samples, processor, cfg.qwen,
@@ -357,9 +397,11 @@ def main():
         # buffer_size 2: one accumulation batch of 1024^2 SAM frames is
         # hundreds of MB of host RAM — bound queued + in-flight batches
         loader = PrefetchLoader(
-            make_accum_batch, num_workers=args.data_workers, buffer_size=2
+            make_accum_batch, num_workers=args.data_workers, buffer_size=2,
+            indexed=True,
         )
         global_step = start_epoch * args.steps_per_epoch
+        loss_trace = []
         for epoch in range(start_epoch, args.epochs):
             meters = {
                 k: AverageMeter(k)
@@ -370,10 +412,15 @@ def main():
             for it in range(args.steps_per_epoch):
                 batch = next(loader)
                 state, aux = step_fn(state, stage(batch))
+                # aux scalars are SPMD-global: identical on every host,
+                # no extra all-reduce needed (ref AverageMeter.all_reduce
+                # existed because torch losses were per-rank)
                 for k, m in meters.items():
                     m.update(float(aux[k]))
                 global_step += 1
-                if it % args.log_every == 0:
+                if args.loss_log:
+                    loss_trace.append(float(aux["loss"]))
+                if it % args.log_every == 0 and is_main:
                     ProgressMeter(
                         args.steps_per_epoch, list(meters.values()),
                         prefix=f"epoch {epoch} ",
@@ -383,10 +430,11 @@ def main():
                             writer.add_scalar(
                                 f"train/{k}", m.val, global_step
                             )
-            print(
-                f"epoch {epoch} done in {time.time()-t_epoch:.0f}s",
-                flush=True,
-            )
+            if is_main:
+                print(
+                    f"epoch {epoch} done in {time.time()-t_epoch:.0f}s",
+                    flush=True,
+                )
 
             # per-epoch ReasonSeg-val gIoU/cIoU (ref train_joint.py:586-648)
             metric = None
@@ -397,36 +445,51 @@ def main():
                     )
                     from rga3_tpu.evaluation.segmentor import UniGRSegmentor
 
-                    seg = UniGRSegmentor(
-                        model, {"params": state.params["params"]},
-                        processor,
-                        num_frames_mllm=args.num_frames_mllm,
-                        compute_dtype=jnp.bfloat16,
+                    # all hosts all-gather the params; rank 0 runs the val
+                    # loop on its local devices, then broadcasts the metric
+                    # so every rank agrees on is-best
+                    val_params = replicate_to_host(
+                        {"params": state.params["params"]}, mesh
                     )
-                    scores = run_reason_seg_val(
-                        seg, args.dataset_dir,
-                        max_samples=args.val_samples,
+                    scores = None
+                    if is_main:
+                        seg = UniGRSegmentor(
+                            model, val_params,
+                            processor,
+                            num_frames_mllm=args.num_frames_mllm,
+                            compute_dtype=jnp.bfloat16,
+                        )
+                        scores = run_reason_seg_val(
+                            seg, args.dataset_dir,
+                            max_samples=args.val_samples,
+                        )
+                        print(f"val epoch {epoch}: {scores}", flush=True)
+                        if writer:
+                            writer.add_scalar("val/gIoU", scores["gIoU"],
+                                              epoch)
+                            writer.add_scalar("val/cIoU", scores["cIoU"],
+                                              epoch)
+                    metric = broadcast_scalar(
+                        scores["gIoU"] if scores else None
                     )
-                    metric = scores["gIoU"]
-                    print(f"val epoch {epoch}: {scores}", flush=True)
-                    if writer:
-                        writer.add_scalar("val/gIoU", scores["gIoU"],
-                                          epoch)
-                        writer.add_scalar("val/cIoU", scores["cIoU"],
-                                          epoch)
                 except FileNotFoundError:
-                    pass
+                    metric = broadcast_scalar(None)
                 except Exception as e:
                     print(f"val skipped: {e}", flush=True)
-            is_best = ckpt.save_epoch(
-                jax.device_get(state), epoch, metric=metric
-            )
-            if is_best:
+                    metric = broadcast_scalar(None)
+            # all ranks save their shards of the global arrays (Orbax);
+            # meta/rmtree are rank-0 inside the manager
+            is_best = ckpt.save_epoch(state, epoch, metric=metric)
+            if is_best and is_main:
                 print(f"epoch {epoch}: new best", flush=True)
 
         loader.close()
+        if args.loss_log and is_main:
+            with open(args.loss_log, "w") as f:
+                json.dump({"loss": loss_trace}, f)
 
-    print("training complete", flush=True)
+    if is_main:
+        print("training complete", flush=True)
 
 
 if __name__ == "__main__":
