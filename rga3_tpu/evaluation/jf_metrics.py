@@ -43,8 +43,24 @@ def _disk(radius: int) -> np.ndarray:
     return (x * x + y * y <= r * r).astype(np.uint8)
 
 
-def _binary_dilate(mask: np.ndarray, selem: np.ndarray) -> np.ndarray:
-    """Binary dilation via shifted ORs (equivalent to cv2.dilate on 0/1)."""
+def _hdilate(mask: np.ndarray, k: int) -> np.ndarray:
+    """Horizontal binary dilation with window [x-k, x+k] via prefix sums."""
+    if k == 0:
+        return mask.copy()
+    c = np.cumsum(mask, axis=1, dtype=np.int64)
+    w = mask.shape[1]
+    hi = np.minimum(np.arange(w) + k, w - 1)
+    tot = c[:, hi]
+    tot[:, k + 1:] -= c[:, : w - k - 1]
+    return tot > 0
+
+
+def _binary_dilate_offsets(
+    mask: np.ndarray, selem: np.ndarray
+) -> np.ndarray:
+    """Shifted-OR dilation — reference implementation for arbitrary selems
+    (slow: one pass per nonzero offset). Used only as the correctness
+    oracle in tests and as the fallback for non-disk selems."""
     h, w = mask.shape
     r = selem.shape[0] // 2
     out = np.zeros_like(mask, dtype=bool)
@@ -57,6 +73,55 @@ def _binary_dilate(mask: np.ndarray, selem: np.ndarray) -> np.ndarray:
         out[dst_y0:dst_y1, dst_x0:dst_x1] |= mask[
             src_y0:src_y1, src_x0:src_x1
         ].astype(bool)
+    return out
+
+
+def _binary_dilate(mask: np.ndarray, selem: np.ndarray) -> np.ndarray:
+    """Binary dilation (max-filter), equivalent to cv2.dilate on 0/1 masks.
+
+    Fast paths (the eval workers run this per frame per object at up to
+    1080p, so the old per-offset python loop was the J&F bottleneck):
+    1. cv2.dilate when importable — exactly what the reference's DAVIS
+       metrics call (ref evaluation/mevis_val_u/metrics.py:60-80).
+    2. Pure numpy O(r) decomposition: each selem row is a contiguous
+       symmetric run (true for L2 disks), so dilation = OR over rows of a
+       prefix-sum horizontal dilation shifted vertically.
+    """
+    mask = mask.astype(bool)
+    try:
+        import cv2
+
+        return cv2.dilate(
+            mask.astype(np.uint8), selem.astype(np.uint8)
+        ).astype(bool)
+    except ImportError:
+        pass
+    h = mask.shape[0]
+    r = selem.shape[0] // 2
+    # check every row is a contiguous run centred on the middle column
+    rows = []
+    for dy in range(-r, r + 1):
+        xs = np.nonzero(selem[dy + r])[0]
+        if xs.size == 0:
+            rows.append(None)
+            continue
+        k = int(xs.max() - r)
+        if k != r - int(xs.min()) or xs.size != 2 * k + 1:
+            return _binary_dilate_offsets(mask, selem)
+        rows.append(k)
+    out = np.zeros_like(mask)
+    cache: dict = {}
+    for dy in range(-r, r + 1):
+        k = rows[dy + r]
+        if k is None:
+            continue
+        if k not in cache:
+            cache[k] = _hdilate(mask, k)
+        hd = cache[k]
+        if dy >= 0:
+            out[dy:] |= hd[: h - dy]
+        else:
+            out[: h + dy] |= hd[-dy:]
     return out
 
 

@@ -49,6 +49,69 @@ def test_seg2bmap_is_boundary_only():
     assert bmap.sum() < seg.sum()
 
 
+def test_binary_dilate_paths_agree():
+    """cv2 fast path == vectorized numpy fallback == shifted-OR oracle,
+    for the disk selems f_measure actually uses (1080p radius is 18)."""
+    from rga3_tpu.evaluation.jf_metrics import (
+        _binary_dilate, _binary_dilate_offsets, _disk, _hdilate,
+    )
+
+    rng = np.random.default_rng(0)
+    for radius, shape in [(1, (24, 31)), (4, (64, 48)), (18, (96, 128))]:
+        mask = rng.random(shape) > 0.98
+        selem = _disk(radius)
+        oracle = _binary_dilate_offsets(mask, selem)
+        assert (_binary_dilate(mask, selem) == oracle).all()
+        # exercise the numpy fallback even when cv2 is importable
+        import rga3_tpu.evaluation.jf_metrics as m
+
+        h = mask.shape[0]
+        out = np.zeros_like(mask)
+        for dy in range(-radius, radius + 1):
+            xs = np.nonzero(selem[dy + radius])[0]
+            k = int(xs.max() - radius)
+            hd = _hdilate(mask, k)
+            if dy >= 0:
+                out[dy:] |= hd[: h - dy]
+            else:
+                out[: h + dy] |= hd[-dy:]
+        assert (out == oracle).all()
+    # empty mask stays empty; full mask stays full
+    z = np.zeros((16, 16), bool)
+    assert not _binary_dilate(z, _disk(3)).any()
+    assert _binary_dilate(~z, _disk(3)).all()
+
+
+def test_binary_dilate_numpy_fallback_non_disk():
+    """A non-contiguous selem routes to the offsets oracle (correctness
+    preserved for arbitrary structuring elements)."""
+    from rga3_tpu.evaluation.jf_metrics import (
+        _binary_dilate_offsets, _hdilate,
+    )
+    import rga3_tpu.evaluation.jf_metrics as m
+
+    rng = np.random.default_rng(1)
+    mask = rng.random((32, 32)) > 0.9
+    selem = np.zeros((5, 5), np.uint8)
+    selem[2, 0] = selem[2, 4] = selem[0, 2] = 1  # holes in the middle row
+    # bypass cv2 to hit the pure-python routing logic
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_cv2(name, *a, **k):
+        if name == "cv2":
+            raise ImportError("forced")
+        return real_import(name, *a, **k)
+
+    builtins.__import__ = no_cv2
+    try:
+        got = m._binary_dilate(mask, selem)
+    finally:
+        builtins.__import__ = real_import
+    assert (got == _binary_dilate_offsets(mask, selem)).all()
+
+
 def test_jf_score_mean():
     gt = np.zeros((2, 8, 8), bool)
     gt[:, :4] = True
