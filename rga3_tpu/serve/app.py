@@ -28,23 +28,157 @@ from typing import Optional
 import numpy as np
 
 INDEX_HTML = """<!doctype html>
-<html><head><title>UniGR (rga3_tpu) demo</title></head>
-<body style="font-family: sans-serif; max-width: 720px; margin: 2em auto;">
+<html><head><title>UniGR (rga3_tpu) demo</title>
+<style>
+ body { font-family: sans-serif; max-width: 760px; margin: 2em auto; }
+ #draw { border: 1px solid #888; max-width: 100%; cursor: crosshair;
+         touch-action: none; }
+ .row { margin: 0.4em 0; }
+ #answer, #segout { white-space: pre-wrap; background: #f4f4f4;
+                    padding: 0.6em; margin-top: 0.6em; }
+</style></head>
+<body>
 <h2>UniGR — object-centric video QA &amp; segmentation (TPU)</h2>
+
 <h3>Referring Video QA</h3>
-<form action="/api/qa" method="post" enctype="multipart/form-data">
-  <input type="file" name="video" accept="video/mp4"><br>
-  <input type="text" name="question" size="60"
-         placeholder="What is the animal doing?"><br>
-  <button type="submit">Ask</button>
-</form>
+<p>Upload a video, grab a frame, draw a visual prompt on it (the drawn
+frame replaces the original at its position — ref app.py ImageEditor
+flow), then ask.</p>
+<div class="row"><input type="file" id="qavideo" accept="video/*"></div>
+<div class="row">
+  <input type="range" id="seek" min="0" max="1000" value="0" disabled>
+  <button id="grab" disabled>Grab frame</button>
+  <button id="clear" disabled>Clear drawing</button>
+</div>
+<div class="row">
+  tool: <select id="tool">
+    <option value="brush">brush</option>
+    <option value="rect">rectangle</option>
+    <option value="ellipse">ellipse</option>
+  </select>
+  color: <input type="color" id="color" value="#ff0000">
+  width: <input type="number" id="width" value="6" min="1" max="40"
+                style="width:4em">
+</div>
+<canvas id="draw" width="640" height="360" style="display:none"></canvas>
+<video id="vid" style="display:none" muted playsinline></video>
+<div class="row">
+  <input type="text" id="question" size="60"
+         placeholder="What is the object in the red circle doing?">
+  <button id="ask">Ask</button>
+</div>
+<div id="answer"></div>
+
 <h3>Video Segmentation</h3>
-<form action="/api/segment" method="post" enctype="multipart/form-data">
-  <input type="file" name="video" accept="video/mp4"><br>
-  <input type="text" name="expression" size="60"
-         placeholder="the cat on the left"><br>
-  <button type="submit">Segment</button>
-</form>
+<div class="row"><input type="file" id="segvideo" accept="video/*"></div>
+<div class="row">
+  <input type="text" id="expression" size="60"
+         placeholder="the cat on the left">
+  <button id="segbtn">Segment</button>
+</div>
+<div id="segout"></div>
+
+<script>
+const vid = document.getElementById('vid');
+const cv = document.getElementById('draw');
+const ctx = cv.getContext('2d');
+let frameGrabbed = false, drawn = false, baseFrame = null;
+let drawing = false, sx = 0, sy = 0, snapshot = null;
+
+document.getElementById('qavideo').onchange = (e) => {
+  const f = e.target.files[0];
+  if (!f) return;
+  vid.src = URL.createObjectURL(f);
+  vid.onloadedmetadata = () => {
+    document.getElementById('seek').disabled = false;
+    document.getElementById('grab').disabled = false;
+    vid.currentTime = 0;
+  };
+  frameGrabbed = drawn = false;
+  cv.style.display = 'none';
+};
+document.getElementById('seek').oninput = (e) => {
+  if (vid.duration) vid.currentTime = vid.duration * e.target.value / 1000;
+};
+document.getElementById('grab').onclick = () => {
+  cv.width = vid.videoWidth; cv.height = vid.videoHeight;
+  ctx.drawImage(vid, 0, 0);
+  baseFrame = ctx.getImageData(0, 0, cv.width, cv.height);
+  cv.style.display = 'block';
+  document.getElementById('clear').disabled = false;
+  frameGrabbed = true; drawn = false;
+};
+document.getElementById('clear').onclick = () => {
+  if (baseFrame) ctx.putImageData(baseFrame, 0, 0);
+  drawn = false;
+};
+function pos(ev) {
+  const r = cv.getBoundingClientRect();
+  return [(ev.clientX - r.left) * cv.width / r.width,
+          (ev.clientY - r.top) * cv.height / r.height];
+}
+function style() {
+  ctx.strokeStyle = document.getElementById('color').value;
+  ctx.lineWidth = +document.getElementById('width').value;
+  ctx.lineCap = 'round'; ctx.lineJoin = 'round';
+}
+cv.addEventListener('pointerdown', (ev) => {
+  if (!frameGrabbed) return;
+  drawing = true; drawn = true;
+  [sx, sy] = pos(ev);
+  snapshot = ctx.getImageData(0, 0, cv.width, cv.height);
+  style();
+  if (document.getElementById('tool').value === 'brush') {
+    ctx.beginPath(); ctx.moveTo(sx, sy);
+  }
+  cv.setPointerCapture(ev.pointerId);
+});
+cv.addEventListener('pointermove', (ev) => {
+  if (!drawing) return;
+  const [x, y] = pos(ev);
+  const tool = document.getElementById('tool').value;
+  if (tool === 'brush') { ctx.lineTo(x, y); ctx.stroke(); return; }
+  ctx.putImageData(snapshot, 0, 0); style(); ctx.beginPath();
+  if (tool === 'rect') ctx.strokeRect(sx, sy, x - sx, y - sy);
+  else { ctx.ellipse((sx + x) / 2, (sy + y) / 2, Math.abs(x - sx) / 2,
+                     Math.abs(y - sy) / 2, 0, 0, 2 * Math.PI);
+         ctx.stroke(); }
+});
+cv.addEventListener('pointerup', () => { drawing = false; });
+
+document.getElementById('ask').onclick = async () => {
+  const f = document.getElementById('qavideo').files[0];
+  if (!f) { alert('choose a video'); return; }
+  const fd = new FormData();
+  fd.append('video', f);
+  fd.append('question', document.getElementById('question').value);
+  if (frameGrabbed && drawn) {
+    const blob = await new Promise(r => cv.toBlob(r, 'image/png'));
+    fd.append('overlay', blob, 'overlay.png');
+    fd.append('overlay_frac',
+              vid.duration ? String(vid.currentTime / vid.duration) : '0');
+  }
+  document.getElementById('answer').textContent = '…thinking…';
+  const resp = await fetch('/api/qa', {method: 'POST', body: fd});
+  const out = await resp.json();
+  document.getElementById('answer').textContent =
+      out.answer || out.error || JSON.stringify(out);
+};
+
+document.getElementById('segbtn').onclick = async () => {
+  const f = document.getElementById('segvideo').files[0];
+  if (!f) { alert('choose a video'); return; }
+  const fd = new FormData();
+  fd.append('video', f);
+  fd.append('expression', document.getElementById('expression').value);
+  document.getElementById('segout').textContent = '…segmenting…';
+  const resp = await fetch('/api/segment', {method: 'POST', body: fd});
+  const out = await resp.json();
+  document.getElementById('segout').textContent =
+      out.error || (out.num_frames + ' frames segmented; RLE masks ' +
+                    'returned (see /api/segment JSON)');
+};
+</script>
 </body></html>
 """
 
@@ -133,14 +267,23 @@ class UniGRService:
             )
 
     def qa(self, video_path: str, question: str,
-           overlay_frame: Optional[np.ndarray] = None) -> str:
+           overlay_frame: Optional[np.ndarray] = None,
+           overlay_frac: Optional[float] = None) -> str:
         from ..data.video import load_frames_from_video
 
         frames, _, _ = load_frames_from_video(
             video_path, num_frames=self.max_qa_frames
         )
         if overlay_frame is not None and frames:
-            frames[0] = overlay_frame  # drawn frame replaces the original
+            # drawn frame replaces the original at its position in the
+            # sampled sequence (ref app.py:581-596 ImageEditor flow);
+            # overlay_frac = currentTime/duration from the canvas UI
+            idx = 0
+            if overlay_frac is not None:
+                idx = int(round(
+                    min(max(overlay_frac, 0.0), 1.0) * (len(frames) - 1)
+                ))
+            frames[idx] = overlay_frame
         if self.chat is None:
             return "(no model loaded)"
         if self.batcher is not None:
@@ -159,6 +302,25 @@ class UniGRService:
             "num_frames": len(frames),
             "masks": [rle.encode(m.astype(np.uint8)) for m in masks],
         }
+
+
+def _decode_image(data: bytes) -> np.ndarray:
+    """Decode an uploaded image (PNG from the canvas UI) to RGB uint8."""
+    try:
+        import cv2
+
+        img = cv2.imdecode(
+            np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR
+        )
+        if img is None:
+            raise ValueError("cv2 could not decode the overlay image")
+        return img[:, :, ::-1].copy()  # BGR -> RGB
+    except ImportError:
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
 
 
 def _parse_multipart(handler) -> dict:
@@ -213,9 +375,17 @@ def make_handler(service: UniGRService):
                     ) as f:
                         f.write(fields.get("video", b""))
                         vp = f.name
+                    overlay = None
+                    if fields.get("overlay"):
+                        overlay = _decode_image(fields["overlay"])
+                    frac = fields.get("overlay_frac")
                     try:
                         answer = service.qa(
-                            vp, fields.get("question", "")
+                            vp, fields.get("question", ""),
+                            overlay_frame=overlay,
+                            overlay_frac=(
+                                float(frac) if frac is not None else None
+                            ),
                         )
                     finally:
                         os.unlink(vp)

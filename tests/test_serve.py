@@ -9,7 +9,16 @@ import pytest
 class StubChat:
     def answer(self, question, video_frames=None, images=None,
                suppress_ids=()):
-        return f"answer to: {question} ({len(video_frames or [])} frames)"
+        # report which frame positions are solid-color (a drawn overlay
+        # frame in the tests) so the overlay routing is observable
+        solid = [
+            i for i, f in enumerate(video_frames or [])
+            if np.ptp(f) == 0
+        ]
+        return (
+            f"answer to: {question} ({len(video_frames or [])} frames, "
+            f"solid={solid})"
+        )
 
 
 class StubSegmentor:
@@ -86,6 +95,29 @@ def test_qa_endpoint(server, tmp_path):
     )
     assert status == 200
     assert "what moves?" in out["answer"]
+
+
+def test_qa_endpoint_with_drawn_overlay(server, tmp_path):
+    """A canvas-drawn frame posted as `overlay` replaces the sampled frame
+    at its `overlay_frac` position (ref app.py:581-596 ImageEditor flow)."""
+    import cv2
+
+    vp = str(tmp_path / "v.mp4")
+    _make_video(vp)
+    with open(vp, "rb") as f:
+        data = f.read()
+    solid = np.full((48, 48, 3), 200, np.uint8)
+    ok, png = cv2.imencode(".png", solid)
+    assert ok
+    status, out = _post_multipart(
+        server + "/api/qa",
+        {"question": "circled object?", "overlay_frac": "1.0"},
+        {"video": ("v.mp4", data), "overlay": ("overlay.png", png.tobytes())},
+    )
+    assert status == 200
+    # the last sampled frame (frac=1.0) must be the solid drawn frame
+    n = int(out["answer"].split("(")[1].split(" ")[0])
+    assert f"solid=[{n - 1}]" in out["answer"]
 
 
 def test_segment_endpoint(server, tmp_path):
