@@ -4,4 +4,8 @@ from .cotracker3 import (  # noqa: F401
     CoTracker3Predictor,
     cotracker3_offline_config,
 )
-from .convert import load_cotracker3_checkpoint  # noqa: F401
+from .convert import (  # noqa: F401
+    build_cotracker3_from_checkpoint,
+    infer_config_from_state_dict,
+    load_cotracker3_checkpoint,
+)

@@ -136,8 +136,135 @@ def load_torch_state_dict(params, state_dict: Dict[str, np.ndarray]):
     return unflatten_dict(new_flat)
 
 
+def _normalize_sd(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {
+        k[len("model."):] if k.startswith("model.") else k: v
+        for k, v in sd.items()
+    }
+
+
+def infer_config_from_state_dict(sd: Dict[str, np.ndarray], base=None):
+    """Derive a `CoTracker3Config` from checkpoint tensor shapes.
+
+    Resolves the one quantity the papers don't publish — the token-feature
+    concat width fed to `updateformer.input_transform` — mechanically:
+
+      width = 2 (vis, conf) + corr_levels * corr_mlp_out
+              + 2 * flow_emb_dim + (2 if flow_cat_coords else 0)
+
+    `corr_mlp_out` comes from `corr_mlp.fc2`; with `corr_levels` held at
+    its structural value the remainder has a UNIQUE (flow_emb_dim,
+    flow_cat_coords) parse because the sincos embedding requires an even
+    per-axis channel count (remainder % 4 == 2 -> coords appended,
+    % 4 == 0 -> not). Also reads hidden size, corr radius (fc1 input =
+    (2r+1)^4), fnet latent dim, virtual-track count, time/space depths,
+    and the vis/conf head presence. Heads count and iteration count are
+    not weight-shaped; they stay at `base`'s values.
+    """
+    import re
+
+    from .cotracker3 import CoTracker3Config
+
+    sd = _normalize_sd(sd)
+    base = base or CoTracker3Config()
+
+    hid, width = sd["updateformer.input_transform.weight"].shape
+    mlp_hidden, p2 = sd["corr_mlp.fc1.weight"].shape
+    mlp_out = sd["corr_mlp.fc2.weight"].shape[0]
+    patch = int(round(p2 ** 0.5))          # fc1 input is patch^2
+    radius = (int(round(patch ** 0.5)) - 1) // 2
+    latent = sd["fnet.conv3.weight"].shape[0]
+    n_virtual = sd["updateformer.virual_tracks"].shape[1]
+
+    def depth(prefix):
+        idx = {
+            int(m.group(1))
+            for k in sd
+            for m in [re.match(rf"updateformer\.{prefix}\.(\d+)\.", k)]
+            if m
+        }
+        return (max(idx) + 1) if idx else 0
+
+    time_depth = depth("time_blocks")
+    space_depth = depth("space_virtual_blocks")
+
+    levels = base.corr_levels
+    rem = width - 2 - levels * mlp_out
+    if rem <= 0 or rem % 2:
+        # structural corr_levels doesn't parse — search for one that does
+        candidates = [
+            lv for lv in range(1, 9)
+            if (width - 2 - lv * mlp_out) > 0
+            and (width - 2 - lv * mlp_out) % 2 == 0
+        ]
+        if not candidates:
+            raise ValueError(
+                f"cannot parse input_transform width {width} with "
+                f"corr_mlp_out {mlp_out} for any corr_levels in 1..8"
+            )
+        levels = min(candidates, key=lambda lv: abs(lv - base.corr_levels))
+        rem = width - 2 - levels * mlp_out
+    cat_coords = rem % 4 == 2              # even flow_emb_dim forces this
+    flow_emb = (rem - (2 if cat_coords else 0)) // 2
+
+    import dataclasses
+
+    return dataclasses.replace(
+        base,
+        latent_dim=latent,
+        corr_levels=levels,
+        corr_radius=radius,
+        corr_mlp_hidden=mlp_hidden,
+        corr_mlp_out=mlp_out,
+        hidden_size=hid,
+        num_virtual_tracks=n_virtual,
+        time_depth=time_depth,
+        space_depth=space_depth,
+        flow_emb_dim=flow_emb,
+        flow_cat_coords=cat_coords,
+        linear_layer_for_vis_conf=(
+            "updateformer.vis_conf_head.weight" in sd
+        ),
+    )
+
+
+def build_cotracker3_from_state_dict(sd: Dict[str, np.ndarray], base=None):
+    """State dict -> (model, params): infer the config from tensor shapes,
+    build the flax module, strict-load every leaf."""
+    import jax
+    import jax.numpy as jnp
+
+    from .cotracker3 import CoTracker3Offline
+
+    sd = _normalize_sd(sd)
+    cfg = infer_config_from_state_dict(sd, base=base)
+    model = CoTracker3Offline(cfg)
+    mh, mw = cfg.model_resolution
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k,
+            jnp.zeros((2, mh, mw, 3), jnp.float32),
+            jnp.zeros((4, 3), jnp.float32),
+        ),
+        jax.random.PRNGKey(0),
+    )
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    return model, load_torch_state_dict(zeros, sd)
+
+
 def load_cotracker3_checkpoint(params, path: str):
     """Load `scaled_offline.pth` (torch serialized) into the JAX tree."""
+    return load_torch_state_dict(params, _load_torch_sd(path))
+
+
+def build_cotracker3_from_checkpoint(path: str, base=None):
+    """`scaled_offline.pth` -> (model, params) with the config inferred
+    from the checkpoint's own tensor shapes (see
+    `infer_config_from_state_dict`)."""
+    return build_cotracker3_from_state_dict(_load_torch_sd(path), base=base)
+
+
+def _load_torch_sd(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
@@ -145,5 +272,4 @@ def load_cotracker3_checkpoint(params, path: str):
         sd["model"], dict
     ):
         sd = sd["model"]
-    sd = {k: v.numpy() for k, v in sd.items()}
-    return load_torch_state_dict(params, sd)
+    return {k: v.numpy() for k, v in sd.items()}

@@ -27,12 +27,16 @@ reachable:
     `backward_tracking=True` (queries may sit on any frame).
 
 Dimensions that are published/structural are fixed by
-`cotracker3_offline_config()`. The one quantity not recoverable offline
-is the exact token-feature concatenation order/width of the official
-build; this reconstruction uses [vis, conf, 4x256 corr, 2*64+2 flow
-embedding] = 1154 + 2 = 1156 and the converter verifies
-`input_transform` against the checkpoint, failing loudly with both
-shapes if the official width differs (see convert.load_torch_state_dict).
+`cotracker3_offline_config()`. The token-feature concatenation width of
+the official build ([vis, conf, 4x256 corr, flow embedding] = 1156 with
+raw-xy coords appended to the 2*64 sincos channels) is not documented,
+but it IS recoverable mechanically from the checkpoint itself:
+`convert.infer_config_from_state_dict` reads `input_transform`'s input
+width plus the corr_mlp/fnet/updateformer tensor shapes and solves for
+`flow_emb_dim`/`flow_cat_coords` (the parse is unique because the sincos
+embedding needs an even channel count), so
+`convert.build_cotracker3_from_checkpoint` loads `scaled_offline.pth`
+correctly even if the official width differs from this default.
 
 TPU-first notes: all shapes are static (N tracks padded to a fixed
 budget, fixed 49-point stencils as dense bilinear gathers), the
@@ -68,6 +72,7 @@ class CoTracker3Config:
     num_virtual_tracks: int = 64
     mlp_ratio: float = 4.0
     flow_emb_dim: int = 64           # C of get_2d_embedding
+    flow_cat_coords: bool = True     # raw xy appended to the sincos emb
     model_resolution: Tuple[int, int] = (384, 512)
     iters: int = 6
     linear_layer_for_vis_conf: bool = True
@@ -80,7 +85,7 @@ class CoTracker3Config:
     def input_dim(self) -> int:
         # [vis, conf] + corr embeddings + flow sincos embedding (+coords)
         return 2 + self.corr_levels * self.corr_mlp_out + (
-            2 * self.flow_emb_dim + 2
+            2 * self.flow_emb_dim + (2 if self.flow_cat_coords else 0)
         )
 
 
@@ -413,7 +418,9 @@ class CoTracker3Offline(nn.Module):
             corr_embs = jnp.concatenate(corr_embs, axis=-1)
 
             flows = coords - q_xy[None]
-            flows_emb = get_2d_embedding(flows, c.flow_emb_dim)
+            flows_emb = get_2d_embedding(
+                flows, c.flow_emb_dim, cat_coords=c.flow_cat_coords
+            )
             token = jnp.concatenate(
                 [vis[..., None], conf[..., None], corr_embs, flows_emb],
                 axis=-1,

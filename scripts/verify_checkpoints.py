@@ -163,22 +163,16 @@ def main():
             sp = load_sam2_params(args.sam2_ckpt)
             info["sam2_leaves"] = len(jax.tree.leaves(sp))
         if args.cotracker_ckpt:
-            from rga3_tpu.models.stom import load_cotracker3_checkpoint
-            from rga3_tpu.models.stom.cotracker3 import (
-                CoTracker3Offline, cotracker3_offline_config,
-            )
+            # config inferred from the checkpoint's own tensor shapes —
+            # resolves the undocumented token-concat width mechanically
+            from rga3_tpu.models.stom import build_cotracker3_from_checkpoint
 
-            ct = CoTracker3Offline(cotracker3_offline_config())
-            shapes = jax.eval_shape(
-                ct.init, jax.random.PRNGKey(0),
-                jax.ShapeDtypeStruct((2, 384, 512, 3), jnp.float32),
-                jax.ShapeDtypeStruct((8, 3), jnp.float32),
-            )
-            zeros = jax.tree.map(
-                lambda s: np.zeros(s.shape, np.float32), shapes
-            )
-            cp = load_cotracker3_checkpoint(zeros, args.cotracker_ckpt)
+            ct, cp = build_cotracker3_from_checkpoint(args.cotracker_ckpt)
             info["cotracker_leaves"] = len(jax.tree.leaves(cp))
+            info["cotracker_input_dim"] = ct.cfg.input_dim
+            info["cotracker_flow"] = [
+                ct.cfg.flow_emb_dim, ct.cfg.flow_cat_coords,
+            ]
             state["cotracker"] = (ct, cp)
         return info
 
@@ -207,6 +201,7 @@ def main():
         stage(report, "act_diff", do_act)
 
     model, params, proc = state["model"], state["params"], state["proc"]
+    cfg = state["cfg"]
 
     def synth_frames(n, size=64):
         return [
@@ -293,6 +288,70 @@ def main():
                 "frames": len(masks)}
 
     stage(report["configs"], "config4_vos", do_vos)
+
+    # ---------------- config 5: int4 serving path --------------------
+    # (ref inference_mevis.py:70-93 load_in_4bit) — int4 LM + int8 vision
+    # through the same quantize_for_serving transform used on real weights
+    def do_int4():
+        from rga3_tpu.models.unigr.model import UniGR
+        from rga3_tpu.ops.quant import quantize_for_serving
+
+        qcfg4 = cfg.qwen.replace(
+            text=cfg.qwen.text.replace(quant_int4=True),
+            vision=cfg.qwen.vision.replace(quant_int8=True),
+        )
+        model4 = UniGR(cfg.replace(qwen=qcfg4))
+        params4 = {
+            col: (
+                {**sub, "qwen": quantize_for_serving(sub["qwen"], "int4")}
+                if isinstance(sub, dict) and "qwen" in sub else sub
+            )
+            for col, sub in params.items()
+        }
+        chat4 = UniGRChat(
+            model4, params4, proc, max_new_tokens=8,
+            compute_dtype=jnp.float32 if args.tiny else None,
+        )
+        out = chat4.answer(
+            "What is happening?", video_frames=synth_frames(2)
+        )
+        assert isinstance(out, str)
+        n_q4 = sum(
+            1 for p in jax.tree_util.tree_flatten_with_path(params4)[0]
+            if "kernel_q4" in str(p[0])
+        )
+        assert n_q4 > 0, "no int4-packed kernels in the serving tree"
+        return {"int4_kernels": n_q4, "sample": out[:80]}
+
+    stage(report["configs"], "config5_int4", do_int4)
+
+    # ---------------- config 6: speculative decoding ------------------
+    # (serve --draft_dir/--spec_k) — draft-and-verify greedy is
+    # token-exact, so the spec answer must equal the plain greedy answer
+    def do_spec():
+        from rga3_tpu.models.qwen25vl.model import Qwen25VL
+
+        draft_model = Qwen25VL(cfg.qwen)
+        draft_params = {
+            col: sub["qwen"]
+            for col, sub in params.items()
+            if isinstance(sub, dict) and "qwen" in sub
+        }
+        frames = synth_frames(2)
+        plain = state["chat"].answer("Describe the scene.",
+                                     video_frames=frames)
+        chat_s = UniGRChat(
+            model, params, proc, max_new_tokens=8,
+            compute_dtype=jnp.float32 if args.tiny else None,
+            draft_model=draft_model, draft_params=draft_params, spec_k=2,
+        )
+        spec = chat_s.answer("Describe the scene.", video_frames=frames)
+        assert spec == plain, (
+            f"speculative != greedy: {spec!r} vs {plain!r}"
+        )
+        return {"sample": spec[:80], "token_exact": True}
+
+    stage(report["configs"], "config6_spec", do_spec)
 
     ok = report["load"]["ok"] and all(
         v.get("ok") for v in report["configs"].values()

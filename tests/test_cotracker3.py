@@ -150,6 +150,76 @@ def test_official_key_layout():
     assert not any(".norm1." in k or ".norm2." in k for k in sd)
 
 
+def test_infer_config_recovers_tiny_dims(tiny_shapes):
+    """Every weight-shaped config field is derivable from the exported
+    state dict alone (VERDICT r2 item 6: mechanical shape inference)."""
+    from rga3_tpu.models.stom.convert import infer_config_from_state_dict
+
+    cfg, _, params = tiny_shapes
+    sd = export_torch_state_dict(params)
+    got = infer_config_from_state_dict(sd, base=cfg)
+    assert got == cfg
+
+
+def test_infer_config_resolves_alternate_flow_width():
+    """If the official build concatenates a DIFFERENT flow embedding
+    (no raw-xy coords), the loader derives that from input_transform's
+    width instead of erroring, and the strict load then succeeds."""
+    import dataclasses
+
+    from rga3_tpu.models.stom.convert import (
+        build_cotracker3_from_state_dict, infer_config_from_state_dict,
+    )
+
+    base = tiny_cotracker3_config()
+    official = dataclasses.replace(
+        base, flow_cat_coords=False, flow_emb_dim=12
+    )
+    model = CoTracker3Offline(official)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((4, 48, 64, 3), jnp.float32),
+        jax.ShapeDtypeStruct((6, 3), jnp.float32),
+    )
+    rng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: rng.normal(0, 0.02, s.shape).astype(np.float32), shapes
+    )
+    sd = export_torch_state_dict(params)
+
+    # base config (cat_coords=True, emb 8) disagrees with the checkpoint;
+    # the inference must recover the official parse purely from shapes
+    got = infer_config_from_state_dict(sd, base=base)
+    assert got.flow_cat_coords is False
+    assert got.flow_emb_dim == 12
+    assert got.input_dim == official.input_dim
+
+    model2, loaded = build_cotracker3_from_state_dict(sd, base=base)
+    assert model2.cfg == official
+    ref = export_torch_state_dict(loaded)
+    for k in sd:
+        np.testing.assert_array_equal(ref[k], sd[k])
+    # and the rebuilt model runs at the inferred width
+    out = model2.apply(
+        loaded,
+        jnp.asarray(rng.uniform(0, 255, (4, 48, 64, 3)), jnp.float32),
+        jnp.asarray([[0, 10, 12], [1, 30, 20]], jnp.float32),
+    )
+    assert np.isfinite(np.asarray(out["tracks"])).all()
+
+
+def test_infer_config_no_vis_conf_head(tiny_shapes):
+    """Head presence is read from the checkpoint keys."""
+    from rga3_tpu.models.stom.convert import infer_config_from_state_dict
+
+    cfg, _, params = tiny_shapes
+    sd = export_torch_state_dict(params)
+    sd.pop("updateformer.vis_conf_head.weight")
+    sd.pop("updateformer.vis_conf_head.bias")
+    got = infer_config_from_state_dict(sd, base=cfg)
+    assert got.linear_layer_for_vis_conf is False
+
+
 @pytest.mark.slow
 def test_predictor_tracks_translation(tiny):
     """A translating square: the predictor keeps a coherent point set and
