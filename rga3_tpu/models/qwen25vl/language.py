@@ -293,12 +293,31 @@ class DecoderLayer(nn.Module):
         return x, new_cache
 
 
+def _remat_wrap(layer_cls, mode):
+    """Rematerialization wrapper for a decoder layer.
+
+    mode False/"none": store all activations (fastest backward, most HBM).
+    mode True/"full": recompute the whole layer in the backward pass
+    (the torch gradient-checkpointing equivalent, ref train_joint.py's
+    gradient_checkpointing; ~4/3 the fwd FLOPs per step).
+    mode "dots": jax.checkpoint with dots_with_no_batch_dims_saveable —
+    weight-matmul outputs are SAVED, only norms/rope/elementwise are
+    recomputed, so the backward keeps fused-kernel speed while activation
+    memory stays ~6 tensors per layer instead of every intermediate."""
+    if mode in (False, None, "none"):
+        return layer_cls
+    kw = dict(static_argnums=(), prevent_cse=False)
+    if mode == "dots":
+        kw["policy"] = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    return nn.remat(layer_cls, **kw)
+
+
 class QwenLM(nn.Module):
     """Decoder stack. Takes input embeddings (vision tokens already merged
     in by the caller — model.py) and 3-stream M-RoPE position ids."""
 
     cfg: QwenTextConfig
-    remat: bool = False
+    remat: Any = False  # False | True | "full" | "dots" | "none"
 
     @nn.compact
     def __call__(
@@ -341,9 +360,7 @@ class QwenLM(nn.Module):
             new_k, new_v = [], []
             layer_cls = DecoderLayer
             if self.remat and cache is None:
-                layer_cls = nn.remat(
-                    DecoderLayer, static_argnums=(), prevent_cse=False
-                )
+                layer_cls = _remat_wrap(DecoderLayer, self.remat)
             for i in range(cfg.num_hidden_layers):
                 layer_cache = None
                 if cache is not None:
@@ -377,15 +394,13 @@ class QwenLM(nn.Module):
 
         class ScannedLayer(nn.Module):
             cfg_: QwenTextConfig
-            remat_: bool
+            remat_: Any
 
             @nn.compact
             def __call__(self, carry, layer_cache):
                 layer = DecoderLayer
                 if self.remat_ and layer_cache is None:
-                    layer = nn.remat(
-                        DecoderLayer, static_argnums=(), prevent_cse=False
-                    )
+                    layer = _remat_wrap(DecoderLayer, self.remat_)
                 out, updated = layer(self.cfg_, name="layer")(
                     carry, cos, sin, segment_ids, layer_cache, cache_idx,
                     cache_seg, fresh_cache,
@@ -420,7 +435,7 @@ class QwenForCausalLM(nn.Module):
     """Embedding + decoder + lm_head (tied option for 3B)."""
 
     cfg: QwenTextConfig
-    remat: bool = False
+    remat: Any = False  # False | True | "full" | "dots" | "none"
 
     def setup(self):
         self.embed_tokens = nn.Embed(

@@ -42,7 +42,7 @@ class Qwen25VL(nn.Module):
     """Full VLM. Vision inputs are optional (text-only path for decode)."""
 
     cfg: Qwen25VLConfig
-    remat: bool = False
+    remat: Any = False  # False | True | "full" | "dots" | "none"
 
     def setup(self):
         self.visual = QwenVisionTower(self.cfg.vision, name="visual")

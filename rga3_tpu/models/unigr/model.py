@@ -57,7 +57,7 @@ class SegProjection(nn.Module):
 
 class UniGR(nn.Module):
     cfg: UniGRConfig
-    remat: bool = False
+    remat: Any = False  # False | True | "full" | "dots" | "none"
 
     def setup(self):
         self.qwen = Qwen25VL(self.cfg.qwen, remat=self.remat, name="qwen")

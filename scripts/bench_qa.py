@@ -36,6 +36,12 @@ def main():
                    help="samples per batched prefill+decode (the\n"
                    "answer_batch eval path; decode is weight-bound\n"
                    "so samples/sec scales with batch)")
+    p.add_argument("--stom", choices=["none", "lk", "cotracker3"],
+                   default="none",
+                   help="BASELINE config 5: add STOM visual-prompt "
+                   "propagation per sample (ref inference_videoinfer.py"
+                   ":199,259-270 --use_stom; cotracker3 = the official "
+                   "scaled_offline architecture, jitted, random weights)")
     args = p.parse_args()
 
     import jax
@@ -166,6 +172,75 @@ def main():
         np.asarray(acc)
         best = max(best, (K * B) / (time.time() - t0))
 
+    stom_info = None
+    if args.stom != "none":
+        # config-5 leg: per QA sample the key-frame overlay is propagated
+        # to every frame before the MLLM sees the video (the eval path in
+        # evaluation/region_qa_eval.py / videoinfer_eval.py)
+        from PIL import Image
+
+        from rga3_tpu.models.stom import STOM
+
+        if args.stom == "cotracker3":
+            from rga3_tpu.models.stom.cotracker3 import (
+                CoTracker3Offline, CoTracker3Predictor,
+                cotracker3_offline_config,
+            )
+
+            ccfg = cotracker3_offline_config()
+            cmodel = CoTracker3Offline(ccfg)
+            cshapes = jax.eval_shape(
+                cmodel.init, jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct((8, 480, 854, 3), jnp.float32),
+                jax.ShapeDtypeStruct((256, 3), jnp.float32),
+            )
+            kgen = jax.jit(lambda k: jax.tree.map(
+                lambda s: (jax.random.normal(k, s.shape) * 0.02).astype(
+                    s.dtype
+                ),
+                cshapes,
+            ))
+            cparams = kgen(jax.random.PRNGKey(1))
+            jax.block_until_ready(cparams)
+            stom = STOM(tracker=CoTracker3Predictor(cparams, cmodel))
+        else:
+            stom = STOM()
+
+        # 8-frame 480x854 clip with a moving bright square; red ellipse
+        # overlay (RGBA) around it on the key frame
+        frames_np = []
+        for i in range(8):
+            f = rng.integers(0, 90, (480, 854, 3)).astype(np.uint8)
+            f[140 + 12 * i:240 + 12 * i, 200 + 30 * i:320 + 30 * i] = 220
+            frames_np.append(f)
+        pil_frames = [Image.fromarray(f) for f in frames_np]
+        import cv2
+
+        vip = np.zeros((480, 854, 4), np.uint8)
+        cv2.ellipse(vip, (260, 190), (90, 80), 0, 0, 360,
+                    (255, 0, 0, 255), 6)
+        vip_img = Image.fromarray(vip)
+
+        t0 = time.time()
+        stom.propagate_in_video(pil_frames, vip_img, 0, shape="ellipse")
+        print(f"# stom compile+first {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best_stom = float("inf")
+        for _ in range(args.samples):
+            t0 = time.time()
+            stom.propagate_in_video(
+                pil_frames, vip_img, 0, shape="ellipse"
+            )
+            best_stom = min(best_stom, time.time() - t0)
+        qa_ms = 1000.0 / best  # per sample, batch amortized
+        stom_ms = 1000.0 * best_stom
+        stom_info = {
+            "backend": args.stom,
+            "ms_per_sample": round(stom_ms, 1),
+            "qa_ms_per_sample": round(qa_ms, 1),
+            "share_of_pipeline": round(stom_ms / (stom_ms + qa_ms), 4),
+        }
+
     # Analytic model FLOPs (the pipeline spans several jitted fns, so XLA
     # cost analysis of one compiled graph can't cover it): 2*P per token —
     # vision params see n_patches tokens, LM params see prefill + decode.
@@ -181,16 +256,30 @@ def main():
     from rga3_tpu.utils.profiling import mfu
 
     print(json.dumps({
-        "metric": "videoinfer_qa_pipeline_throughput",
+        "metric": (
+            "videoinfer_qa_pipeline_throughput" if stom_info is None
+            else "videoinfer_qa_stom_pipeline_throughput"
+        ),
+        "stom": stom_info,
         "size": args.size,
         "batch": args.batch,
         "int8": args.int8,
         "int4": args.int4,
         "video_tokens": n_merged,
         "new_tokens": args.decode,
-        "value": round(best, 3),
+        # with --stom the headline is the combined per-sample pipeline
+        # rate; mfu stays QA-only (the tracker's FLOPs aren't counted)
+        "value": round(
+            best if stom_info is None
+            else 1000.0 / (stom_info["ms_per_sample"]
+                           + stom_info["qa_ms_per_sample"]), 3,
+        ),
         "unit": "samples/sec/chip",
-        "ms_per_sample": round(1000.0 / best, 1),
+        "ms_per_sample": round(
+            1000.0 / best if stom_info is None
+            else stom_info["ms_per_sample"]
+            + stom_info["qa_ms_per_sample"], 1,
+        ),
         "mfu": round(mfu(flops, B / best), 4) if best else 0.0,
     }))
 

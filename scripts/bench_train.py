@@ -39,6 +39,17 @@ def main():
         "(the reference's real train workload: 320-merged-token video "
         "budget, ref run_torchrun.sh:19)",
     )
+    p.add_argument(
+        "--remat", choices=["full", "dots", "none"], default="full",
+        help="LM activation strategy: full = recompute each layer in the "
+        "backward (least HBM, ~4/3 fwd FLOPs); dots = save weight-matmul "
+        "outputs, recompute only elementwise/norms "
+        "(dots_with_no_batch_dims_saveable); none = store everything",
+    )
+    p.add_argument(
+        "--fwd-only", action="store_true",
+        help="time the loss forward alone (backward-share decomposition)",
+    )
     args = p.parse_args()
 
     import jax
@@ -73,7 +84,7 @@ def main():
             freeze_sam_backbone=not args.no_freeze_backbone,
         ),
     )
-    model = UniGR(cfg, remat=True)
+    model = UniGR(cfg, remat=args.remat)
 
     rng = np.random.default_rng(0)
     B, L, T = args.batch, args.seq, args.sam_frames
@@ -203,6 +214,30 @@ def main():
         for k, v in layout_args.items():
             batch["vl_" + k] = v[None]
 
+    if args.fwd_only:
+        fwd = jax.jit(
+            lambda p, b: loss_fn(p, jax.tree.map(lambda v: v[0], b))["loss"]
+        )
+        t0 = time.time()
+        fwd_c = fwd.lower(state.params, batch).compile()
+        l0 = float(fwd_c(state.params, batch))
+        print(
+            f"# fwd compile {time.time()-t0:.1f}s loss={l0:.3f}",
+            file=sys.stderr,
+        )
+        best = float("inf")
+        for _ in range(max(args.steps, 5)):
+            t0 = time.time()
+            float(fwd_c(state.params, batch))
+            best = min(best, time.time() - t0)
+        print(json.dumps({
+            "metric": "unigr_train_fwd_only",
+            "size": args.size, "seq": L, "sam_frames": T,
+            "remat": args.remat,
+            "value": round(1000 * best, 1), "unit": "ms",
+        }))
+        return
+
     t0 = time.time()
     step_c = step.lower(state, batch).compile()
     # analytic model FLOPs — XLA cost_analysis counts 0 for Pallas
@@ -232,6 +267,7 @@ def main():
     print(json.dumps({
         "metric": "unigr_train_step_throughput",
         "size": args.size,
+        "remat": args.remat,
         "seq": L,
         "sam_frames": T,
         "vision_patches": n_patches,
