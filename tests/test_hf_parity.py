@@ -107,6 +107,7 @@ def test_text_only_logits_match(hf_and_ours):
 
 
 @pytest.mark.slow
+@pytest.mark.midlane
 def test_vision_logits_match(hf_and_ours):
     hf, hf_cfg, model, ours_cfg, params = hf_and_ours
     rng = np.random.default_rng(1)

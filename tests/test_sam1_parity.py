@@ -128,6 +128,7 @@ def Sam1ModelEncode(m, images):
 
 
 @pytest.mark.slow
+@pytest.mark.midlane
 def test_text_prompted_decode_parity(ref_and_ours):
     ref, model, params, cfg = ref_and_ours
     rng = np.random.default_rng(1)

@@ -82,6 +82,7 @@ def test_prompt_encoder_parity(ref_and_ours):
 
 
 @pytest.mark.slow
+@pytest.mark.midlane
 def test_language_mask_decoder_parity(ref_and_ours):
     refmod, ref, model, params = ref_and_ours
     rng = np.random.default_rng(0)
