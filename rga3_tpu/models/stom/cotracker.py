@@ -250,10 +250,9 @@ class CoTrackerJax:
         self.model = model
         self.params = params
 
-    def track(self, frames, query_mask, query_frame_idx, grid_size=100):
-        from .tracker import sample_grid_points_in_mask
-
-        pts = sample_grid_points_in_mask(query_mask, grid_size)
+    def track_points(self, frames, pts, query_frame_idx):
+        """Track explicit (N, 2) points; returns (tracks, vis) like
+        LKTracker.track_points."""
         t = len(frames)
         if len(pts) == 0:
             return (
@@ -265,9 +264,16 @@ class CoTrackerJax:
         )
         queries = jnp.asarray(
             np.concatenate(
-                [np.full((len(pts), 1), query_frame_idx, np.float32), pts],
+                [np.full((len(pts), 1), query_frame_idx, np.float32),
+                 np.asarray(pts, np.float32)],
                 axis=1,
             )
         )
         tracks, vis = self.model.apply(self.params, video, queries)
         return np.asarray(tracks), np.asarray(vis) > 0
+
+    def track(self, frames, query_mask, query_frame_idx, grid_size=100):
+        from .tracker import sample_grid_points_in_mask
+
+        pts = sample_grid_points_in_mask(query_mask, grid_size)
+        return self.track_points(frames, pts, query_frame_idx)

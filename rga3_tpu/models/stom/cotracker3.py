@@ -462,18 +462,15 @@ class CoTracker3Predictor:
             lambda p, f, q: self.model.apply(p, f, q)
         )
 
-    def track(self, frames: Sequence[np.ndarray], query_mask: np.ndarray,
-              query_frame_idx: int, grid_size: int = 100):
-        from .tracker import sample_grid_points_in_mask
-
-        pts = sample_grid_points_in_mask(query_mask, grid_size)
+    def track_points(self, frames: Sequence[np.ndarray], pts: np.ndarray,
+                     query_frame_idx: int):
+        """Track explicit (N, 2) points (padded/truncated to max_points
+        for a stable jit shape); returns (tracks (T, N, 2), vis)."""
+        t = len(frames)
         if len(pts) == 0:
-            ys, xs = np.nonzero(query_mask)
-            if len(ys) == 0:
-                t = len(frames)
-                return (np.zeros((t, 0, 2), np.float32),
-                        np.zeros((t, 0), bool))
-            pts = np.stack([xs, ys], -1).astype(np.float32)[:1]
+            return (np.zeros((t, 0, 2), np.float32),
+                    np.zeros((t, 0), bool))
+        pts = np.asarray(pts, np.float32)
         n = min(len(pts), self.max_points)
         sel = np.linspace(0, len(pts) - 1, n).astype(int)
         pts = pts[sel]
@@ -493,3 +490,17 @@ class CoTracker3Predictor:
         conf_p = 1.0 / (1.0 + np.exp(-np.asarray(out["conf"])))
         visible = (vis_p * conf_p)[:, :n] > self.vis_threshold
         return tracks.astype(np.float32), visible
+
+    def track(self, frames: Sequence[np.ndarray], query_mask: np.ndarray,
+              query_frame_idx: int, grid_size: int = 100):
+        from .tracker import sample_grid_points_in_mask
+
+        pts = sample_grid_points_in_mask(query_mask, grid_size)
+        if len(pts) == 0:
+            ys, xs = np.nonzero(query_mask)
+            if len(ys) == 0:
+                t = len(frames)
+                return (np.zeros((t, 0, 2), np.float32),
+                        np.zeros((t, 0), bool))
+            pts = np.stack([xs, ys], -1).astype(np.float32)[:1]
+        return self.track_points(frames, pts, query_frame_idx)

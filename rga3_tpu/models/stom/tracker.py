@@ -77,26 +77,25 @@ class LKTracker:
             vis[t] = alive & inb
         return tracks, vis
 
-    def track(
+    def track_points(
         self,
         frames: Sequence[np.ndarray],  # list of (H, W, 3) RGB uint8
-        query_mask: np.ndarray,  # (H, W) binary region to seed points in
+        pts: np.ndarray,  # (N, 2) float query points on frame query_frame_idx
         query_frame_idx: int,
-        grid_size: int = 100,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Track explicit points (fwd + bwd chaining from the query frame).
+        Returns (tracks (T, N, 2), vis (T, N) bool)."""
         import cv2
 
         grays = [cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) for f in frames]
-        pts = sample_grid_points_in_mask(query_mask, grid_size)
+        t = len(frames)
         if len(pts) == 0:
-            t = len(frames)
             return np.zeros((t, 0, 2), np.float32), np.zeros((t, 0), bool)
 
         fwd_tracks, fwd_vis = self._chain(grays[query_frame_idx:], pts)
         bwd_tracks, bwd_vis = self._chain(
             grays[: query_frame_idx + 1][::-1], pts
         )
-        t = len(frames)
         tracks = np.zeros((t, len(pts), 2), np.float32)
         vis = np.zeros((t, len(pts)), bool)
         tracks[query_frame_idx:] = fwd_tracks
@@ -104,3 +103,13 @@ class LKTracker:
         tracks[: query_frame_idx + 1] = bwd_tracks[::-1]
         vis[: query_frame_idx + 1] = bwd_vis[::-1]
         return tracks, vis
+
+    def track(
+        self,
+        frames: Sequence[np.ndarray],  # list of (H, W, 3) RGB uint8
+        query_mask: np.ndarray,  # (H, W) binary region to seed points in
+        query_frame_idx: int,
+        grid_size: int = 100,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        pts = sample_grid_points_in_mask(query_mask, grid_size)
+        return self.track_points(frames, pts, query_frame_idx)
