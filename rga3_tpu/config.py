@@ -127,7 +127,15 @@ class TrainConfig(ConfigBase):
     seed: int = 42
     auto_resume: bool = True
     ckpt_dir: str = "runs/default"
-    remat: bool = True  # jax.checkpoint on decoder blocks
+    # LM activation strategy: "full" recomputes whole decoder layers in
+    # the backward (least HBM), "dots" saves weight-matmul outputs and
+    # recomputes only norms/rope/elementwise, "none" stores everything.
+    # Chip A/B at the release micro-batch (3B+vision, seq 512, 2 SAM
+    # frames, micro-bs 2): dots 291.9 ms/step (MFU 0.414) vs none 307.2
+    # (0.393) vs full ~328 (0.36 extrapolated from b1 183.1/172.0) —
+    # dots is the default; presets can set "full" when HBM-bound.
+    # bool accepted for compat (True -> "full", False -> "none").
+    remat: Any = "dots"
 
 
 @dataclass(frozen=True)
