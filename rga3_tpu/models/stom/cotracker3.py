@@ -76,6 +76,11 @@ class CoTracker3Config:
     model_resolution: Tuple[int, int] = (384, 512)
     iters: int = 6
     linear_layer_for_vis_conf: bool = True
+    # "bfloat16" halves the MXU cost of the encoder/updateformer on TPU
+    # (the tracker is 80% of the config-5 pipeline, STATUS r3); params
+    # stay f32 (converter-compatible), norms/softmax/coordinate state
+    # compute in f32. "float32" = reference-parity default.
+    compute_dtype: str = "float32"
 
     @property
     def patch_points(self) -> int:
@@ -105,10 +110,12 @@ def tiny_cotracker3_config() -> CoTracker3Config:
 
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """InstanceNorm2d(affine=False) over NHWC spatial dims."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """InstanceNorm2d(affine=False) over NHWC spatial dims (statistics
+    in f32 regardless of the compute dtype)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class ResidualBlock(nn.Module):
@@ -116,17 +123,19 @@ class ResidualBlock(nn.Module):
 
     planes: int
     stride: int = 1
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         y = nn.relu(instance_norm(y))
-        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2")(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(y)
         y = nn.relu(instance_norm(y))
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = nn.Conv(self.planes, (1, 1), strides=self.stride,
-                        name="downsample_0")(x)
+                        dtype=self.dtype, name="downsample_0")(x)
             x = instance_norm(x)
         return nn.relu(x + y)
 
@@ -143,28 +152,31 @@ class BasicEncoder(nn.Module):
 
     output_dim: int = 128
     stride: int = 4
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = self.output_dim
+        dt = self.dtype
         h, w = x.shape[1], x.shape[2]
         out_hw = (h // self.stride, w // self.stride)
-        x = nn.Conv(d // 2, (7, 7), strides=2, padding=3, name="conv1")(x)
+        x = nn.Conv(d // 2, (7, 7), strides=2, padding=3, dtype=dt,
+                    name="conv1")(x)
         x = nn.relu(instance_norm(x))
-        a = ResidualBlock(d // 2, 1, name="layer1_0")(x)
-        a = ResidualBlock(d // 2, 1, name="layer1_1")(a)
-        b = ResidualBlock(d // 4 * 3, 2, name="layer2_0")(a)
-        b = ResidualBlock(d // 4 * 3, 1, name="layer2_1")(b)
-        c = ResidualBlock(d, 2, name="layer3_0")(b)
-        c = ResidualBlock(d, 1, name="layer3_1")(c)
-        e = ResidualBlock(d, 2, name="layer4_0")(c)
-        e = ResidualBlock(d, 1, name="layer4_1")(e)
+        a = ResidualBlock(d // 2, 1, dtype=dt, name="layer1_0")(x)
+        a = ResidualBlock(d // 2, 1, dtype=dt, name="layer1_1")(a)
+        b = ResidualBlock(d // 4 * 3, 2, dtype=dt, name="layer2_0")(a)
+        b = ResidualBlock(d // 4 * 3, 1, dtype=dt, name="layer2_1")(b)
+        c = ResidualBlock(d, 2, dtype=dt, name="layer3_0")(b)
+        c = ResidualBlock(d, 1, dtype=dt, name="layer3_1")(c)
+        e = ResidualBlock(d, 2, dtype=dt, name="layer4_0")(c)
+        e = ResidualBlock(d, 1, dtype=dt, name="layer4_1")(e)
         cat = jnp.concatenate(
             [_resize_bilinear(t, out_hw) for t in (a, b, c, e)], axis=-1
         )
-        y = nn.Conv(d * 2, (3, 3), padding=1, name="conv2")(cat)
+        y = nn.Conv(d * 2, (3, 3), padding=1, dtype=dt, name="conv2")(cat)
         y = nn.relu(instance_norm(y))
-        return nn.Conv(d, (1, 1), name="conv3")(y)
+        return nn.Conv(d, (1, 1), dtype=dt, name="conv3")(y)
 
 
 class Attention(nn.Module):
@@ -173,6 +185,7 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     context_dim: Optional[int] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -180,8 +193,8 @@ class Attention(nn.Module):
         ctx = x if context is None else context
         h = self.num_heads
         hd = self.dim // h
-        q = nn.Dense(self.dim, name="to_q")(x)
-        kv = nn.Dense(2 * self.dim, name="to_kv")(ctx)
+        q = nn.Dense(self.dim, dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(2 * self.dim, dtype=self.dtype, name="to_kv")(ctx)
         k, v = jnp.split(kv, 2, axis=-1)
 
         def heads(t):
@@ -189,58 +202,61 @@ class Attention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         att = jnp.einsum("...qd,...kd->...qk", q, k) / np.sqrt(hd)
-        att = jax.nn.softmax(att, axis=-1)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(
+            v.dtype
+        )
         out = jnp.einsum("...qk,...kd->...qd", att, v)
         out = out.swapaxes(-2, -3).reshape(*x.shape[:-1], self.dim)
-        return nn.Dense(x.shape[-1], name="to_out")(out)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
 
 
 def _pre_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """LayerNorm(elementwise_affine=False) — DiT-style parameter-free."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """LayerNorm(elementwise_affine=False) — DiT-style parameter-free
+    (statistics in f32 regardless of the compute dtype)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 class Mlp(nn.Module):
     hidden: int
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.Dense(self.hidden, name="fc1")(x)
+        y = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         y = nn.gelu(y, approximate=True)
-        return nn.Dense(x.shape[-1], name="fc2")(y)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="fc2")(y)
 
 
 class AttnBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = x + Attention(self.dim, self.num_heads, name="attn")(
-            _pre_norm(x)
-        )
-        return x + Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
-            _pre_norm(x)
-        )
+        x = x + Attention(self.dim, self.num_heads, dtype=self.dtype,
+                          name="attn")(_pre_norm(x))
+        return x + Mlp(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                       name="mlp")(_pre_norm(x))
 
 
 class CrossAttnBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         ctx = nn.LayerNorm(epsilon=1e-5, name="norm_context")(context)
-        x = x + Attention(self.dim, self.num_heads, name="cross_attn")(
-            _pre_norm(x), context=ctx
-        )
-        return x + Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
-            _pre_norm(x)
-        )
+        x = x + Attention(self.dim, self.num_heads, dtype=self.dtype,
+                          name="cross_attn")(_pre_norm(x), context=ctx)
+        return x + Mlp(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                       name="mlp")(_pre_norm(x))
 
 
 class EfficientUpdateFormer(nn.Module):
@@ -254,7 +270,9 @@ class EfficientUpdateFormer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, N, T, input_dim) -> (B, N, T, 4) [dx, dy, vis, conf]."""
         c = self.cfg
-        tokens = nn.Dense(c.hidden_size, name="input_transform")(x)
+        dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
+        tokens = nn.Dense(c.hidden_size, dtype=dt,
+                          name="input_transform")(x)
         b, n, t, d = tokens.shape
         virtual = self.param(
             "virual_tracks",
@@ -263,7 +281,7 @@ class EfficientUpdateFormer(nn.Module):
         )
         virtual = jnp.broadcast_to(
             virtual, (b, c.num_virtual_tracks, t, c.hidden_size)
-        )
+        ).astype(tokens.dtype)
         tokens = jnp.concatenate([tokens, virtual], axis=1)
         n_tot = n + c.num_virtual_tracks
 
@@ -272,7 +290,7 @@ class EfficientUpdateFormer(nn.Module):
         for i in range(c.time_depth):
             flat = tokens.reshape(b * n_tot, t, d)
             flat = AttnBlock(
-                c.hidden_size, c.num_heads, c.mlp_ratio,
+                c.hidden_size, c.num_heads, c.mlp_ratio, dtype=dt,
                 name=f"time_blocks_{i}",
             )(flat)
             tokens = flat.reshape(b, n_tot, t, d)
@@ -280,15 +298,15 @@ class EfficientUpdateFormer(nn.Module):
                 space = tokens.swapaxes(1, 2).reshape(b * t, n_tot, d)
                 pts, virt = space[:, :n], space[:, n:]
                 virt = CrossAttnBlock(
-                    c.hidden_size, c.num_heads, c.mlp_ratio,
+                    c.hidden_size, c.num_heads, c.mlp_ratio, dtype=dt,
                     name=f"space_virtual2point_blocks_{j}",
                 )(virt, pts)
                 virt = AttnBlock(
-                    c.hidden_size, c.num_heads, c.mlp_ratio,
+                    c.hidden_size, c.num_heads, c.mlp_ratio, dtype=dt,
                     name=f"space_virtual_blocks_{j}",
                 )(virt)
                 pts = CrossAttnBlock(
-                    c.hidden_size, c.num_heads, c.mlp_ratio,
+                    c.hidden_size, c.num_heads, c.mlp_ratio, dtype=dt,
                     name=f"space_point2virtual_blocks_{j}",
                 )(pts, virt)
                 space = jnp.concatenate([pts, virt], axis=1)
@@ -296,6 +314,7 @@ class EfficientUpdateFormer(nn.Module):
                 j += 1
 
         tokens = tokens[:, :n]
+        tokens = tokens.astype(jnp.float32)
         flow = nn.Dense(2, name="flow_head")(tokens)
         if c.linear_layer_for_vis_conf:
             vis_conf = nn.Dense(2, name="vis_conf_head")(tokens)
@@ -354,10 +373,16 @@ class CoTracker3Offline(nn.Module):
         c = self.cfg
         t_len, in_h, in_w, _ = frames.shape
         mh, mw = c.model_resolution
+        dt = (jnp.bfloat16 if c.compute_dtype == "bfloat16"
+              else jnp.float32)
         video = _resize_bilinear(frames, (mh, mw))
-        video = 2.0 * (video / 255.0) - 1.0
+        video = (2.0 * (video / 255.0) - 1.0).astype(dt)
 
-        fmaps = BasicEncoder(c.latent_dim, c.stride, name="fnet")(video)
+        fmaps = BasicEncoder(
+            c.latent_dim, c.stride,
+            dtype=dt if c.compute_dtype == "bfloat16" else None,
+            name="fnet",
+        )(video)
 
         # pyramid by 2x average pooling
         pyramid = [fmaps]
@@ -388,7 +413,7 @@ class CoTracker3Offline(nn.Module):
             centers = q_xy / (2.0 ** lvl)
             pts = centers[:, None, :] + stencil[None, :, :]
             sup = jax.vmap(bilinear_sample)(fm_q, pts)    # (N, P, C)
-            support.append(sup)
+            support.append(sup.astype(dt))
 
         time_emb = get_1d_sincos_embed(c.input_dim, t_len)  # (T, input_dim)
 
@@ -397,8 +422,11 @@ class CoTracker3Offline(nn.Module):
         conf = jnp.zeros_like(vis)
 
         updateformer = EfficientUpdateFormer(c, name="updateformer")
-        corr_mlp_fc1 = nn.Dense(c.corr_mlp_hidden, name="corr_mlp_fc1")
-        corr_mlp_fc2 = nn.Dense(c.corr_mlp_out, name="corr_mlp_fc2")
+        mlp_dt = dt if c.compute_dtype == "bfloat16" else None
+        corr_mlp_fc1 = nn.Dense(c.corr_mlp_hidden, dtype=mlp_dt,
+                                name="corr_mlp_fc1")
+        corr_mlp_fc2 = nn.Dense(c.corr_mlp_out, dtype=mlp_dt,
+                                name="corr_mlp_fc2")
 
         all_coords = []
         for _ in range(c.iters):
@@ -408,7 +436,8 @@ class CoTracker3Offline(nn.Module):
                 centers = coords / (2.0 ** lvl)           # (T, N, 2)
                 neigh = jax.vmap(sample_patches)(fm, centers)  # (T,N,P,C)
                 vol = jnp.einsum(
-                    "tnpc,nqc->tnpq", neigh, support[lvl]
+                    "tnpc,nqc->tnpq", neigh.astype(dt), support[lvl],
+                    preferred_element_type=jnp.float32,
                 ) / np.sqrt(c.latent_dim)                  # (T, N, P, P)
                 emb = corr_mlp_fc2(nn.gelu(
                     corr_mlp_fc1(vol.reshape(t_len, -1, p * p)),

@@ -42,6 +42,10 @@ def main():
                    "propagation per sample (ref inference_videoinfer.py"
                    ":199,259-270 --use_stom; cotracker3 = the official "
                    "scaled_offline architecture, jitted, random weights)")
+    p.add_argument("--stom-bf16", dest="stom_bf16", action="store_true",
+                   help="CoTracker3 compute_dtype=bfloat16 (params stay "
+                   "f32; norms/softmax/coords f32) — the tracker is 80%% "
+                   "of the config-5 pipeline")
     args = p.parse_args()
 
     import jax
@@ -188,6 +192,12 @@ def main():
             )
 
             ccfg = cotracker3_offline_config()
+            if args.stom_bf16:
+                import dataclasses
+
+                ccfg = dataclasses.replace(
+                    ccfg, compute_dtype="bfloat16"
+                )
             cmodel = CoTracker3Offline(ccfg)
             cshapes = jax.eval_shape(
                 cmodel.init, jax.random.PRNGKey(0),

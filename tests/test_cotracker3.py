@@ -239,3 +239,24 @@ def test_predictor_tracks_translation(tiny):
     assert tracks.shape[0] == t and tracks.shape[2] == 2
     assert vis.shape == tracks.shape[:2]
     assert np.isfinite(tracks).all()
+
+
+def test_bf16_compute_dtype_matches_f32(tiny):
+    """compute_dtype='bfloat16' (the serving option; params stay f32)
+    must track close to the f32 build on the same weights — coordinate
+    state/norms/softmax stay f32, so drift is bounded by bf16 matmul
+    rounding, not by iterate divergence."""
+    import dataclasses
+
+    cfg, model, params, frames, queries = tiny
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    model16 = CoTracker3Offline(cfg16)
+    out32 = model.apply(params, frames, queries)
+    out16 = model16.apply(params, frames, queries)
+    assert out16["tracks"].dtype == out32["tracks"].dtype  # f32 coords
+    d = np.abs(np.asarray(out16["tracks"][-1])
+               - np.asarray(out32["tracks"][-1]))
+    # tiny-config clips are 64x96: sub-pixel agreement expected
+    assert d.max() < 1.0, d.max()
+    dv = np.abs(np.asarray(out16["vis"]) - np.asarray(out32["vis"]))
+    assert dv.max() < 0.5, dv.max()
