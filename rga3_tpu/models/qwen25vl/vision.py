@@ -24,10 +24,11 @@ from __future__ import annotations
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.attention import flash_attention
+from ...ops.attention import flash_attention, mha_reference
 from ...ops.rope import apply_rope, vision_rope_cos_sin
 from .config import QwenVisionConfig
 
@@ -42,6 +43,14 @@ class VisionLayout(NamedTuple):
     hpos: np.ndarray  # (L_tokens,) window-ordered h coords
     wpos: np.ndarray  # (L_tokens,) window-ordered w coords
     total_tokens: int
+    # uniform-window attention gathers (windowed blocks run batched
+    # per-window attention over windows padded to the full tile — edge
+    # windows are ragged, so flash-with-segment-ids paid ~10 ms/step of
+    # kernel overhead at the release video budget; see STATUS r3):
+    win_pad_units: np.ndarray  # (n_win * tile_units,) valid window-ordered
+    # unit index, or -1 for a window-pad slot
+    win_unpad_units: np.ndarray  # (L_merged,) padded-stream unit position
+    # of each valid window-ordered unit
 
 
 def _grid_pos_ids(t: int, h: int, w: int, sms: int) -> np.ndarray:
@@ -81,6 +90,10 @@ def compute_vision_layout(
     window_seqlens: List[int] = []  # tokens per window (valid only)
     grid_seqlens: List[int] = []
     pos_list: List[np.ndarray] = []
+    win_pad_rows: List[np.ndarray] = []  # per window: tile_units slots,
+    # each a valid window-ordered unit index or -1 (window-pad)
+    tile_units = wsize * wsize
+    valid_units = 0
     start = 0
     for t, h, w in grid_thw:
         lh, lw = h // sms, w // sms
@@ -99,9 +112,21 @@ def compute_vision_layout(
             valid = row[row != -100]
             window_index.append(valid + start)
             window_seqlens.append(len(valid) * unit)
+            slots = np.full(tile_units, -1, np.int64)
+            slots[: len(valid)] = np.arange(
+                valid_units, valid_units + len(valid)
+            )
+            win_pad_rows.append(slots)
+            valid_units += len(valid)
         start += t * lh * lw
         grid_seqlens.append(t * h * w)
         pos_list.append(_grid_pos_ids(t, h, w, sms))
+
+    win_pad_units = np.concatenate(win_pad_rows)
+    pos_of_valid = np.nonzero(win_pad_units >= 0)[0]
+    win_unpad_units = pos_of_valid[
+        np.argsort(win_pad_units[pos_of_valid])
+    ]
 
     window_index_np = np.concatenate(window_index)
     reverse_index = np.argsort(window_index_np)
@@ -130,6 +155,8 @@ def compute_vision_layout(
         hpos=pos_w[:, 0].astype(np.int32),
         wpos=pos_w[:, 1].astype(np.int32),
         total_tokens=total,
+        win_pad_units=win_pad_units.astype(np.int32),
+        win_unpad_units=win_unpad_units.astype(np.int32),
     )
 
 
@@ -146,11 +173,48 @@ class VisionRMSNorm(nn.Module):
         return (x32 * jnp.sqrt(1.0 / (var + self.eps)) * scale).astype(x.dtype)
 
 
+def _uniform_window_attention(q, k, v, win_pad, win_unpad, tile: int):
+    """Batched per-window attention over windows padded to full tiles.
+
+    q/k/v (L, H, hd) in valid window order; win_pad (Lp,) gathers each
+    padded-window slot's token (-1 -> zero fill, masked as keys via
+    kv segment ids); win_unpad (L,) gathers each valid token's output
+    back (-1 for budget-pad tokens -> 0). Profiled round 3: segment-id
+    flash over ragged 64-token windows cost ~0.31 ms/layer at L=1280
+    (45% of the vision tower, grid-machinery-bound — neither block size
+    nor kv-block skipping moved it); per-window (tile x tile) XLA
+    einsum logits are tiny and fuse."""
+    l, h, hd = q.shape
+    lp = win_pad.shape[0]
+    nw = lp // tile
+
+    def gather(t):
+        return jnp.take(t, win_pad, axis=0, mode="fill", fill_value=0)
+
+    qw = gather(q).reshape(nw, tile, h, hd)
+    kw = gather(k).reshape(nw, tile, h, hd)
+    vw = gather(v).reshape(nw, tile, h, hd)
+    kv_seg = (win_pad < 0).astype(jnp.int32).reshape(nw, tile)
+    aw = mha_reference(
+        qw, kw, vw,
+        segment_ids=jnp.zeros_like(kv_seg), kv_segment_ids=kv_seg,
+    )
+    return jnp.take(
+        aw.reshape(lp, h, hd), win_unpad, axis=0, mode="fill",
+        fill_value=0,
+    )
+
+
 class VisionBlock(nn.Module):
     cfg: QwenVisionConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, segment_ids):
+    def __call__(self, x, cos, sin, segment_ids, win_pad=None,
+                 win_unpad=None, use_full=True):
+        """use_full: True -> full attention over `segment_ids` grids;
+        False -> uniform-window attention via win_pad/win_unpad; a traced
+        scalar -> lax.cond between the two (the scanned-blocks path —
+        attention has no params, so the branches share everything)."""
         cfg = self.cfg
         l, d = x.shape
         h, hd = cfg.num_heads, cfg.head_dim
@@ -171,10 +235,32 @@ class VisionBlock(nn.Module):
         q, k, v = q[:, 0], k[:, 0], v[:, 0]  # (L, H, hd)
         q = apply_rope(q[None], cos[None], sin[None])[0]
         k = apply_rope(k[None], cos[None], sin[None])[0]
-        attn = flash_attention(
-            q[None], k[None], v[None],
-            causal=False, segment_ids=segment_ids[None],
-        )[0]
+        tile = (cfg.window_size // cfg.patch_size) ** 2
+
+        def full_attn(qkv_):
+            q_, k_, v_ = qkv_
+            return flash_attention(
+                q_[None], k_[None], v_[None],
+                causal=False, segment_ids=segment_ids[None],
+            )[0]
+
+        def window_attn(qkv_):
+            q_, k_, v_ = qkv_
+            return _uniform_window_attention(
+                q_, k_, v_, win_pad, win_unpad, tile
+            )
+
+        if win_pad is None:
+            # legacy path: ragged windows via segment-id flash
+            attn = full_attn((q, k, v))
+        elif use_full is True:
+            attn = full_attn((q, k, v))
+        elif use_full is False:
+            attn = window_attn((q, k, v))
+        else:  # traced (scanned blocks)
+            attn = jax.lax.cond(
+                use_full, full_attn, window_attn, (q, k, v)
+            )
         attn = dense("attn_proj", d)(attn.reshape(l, d))
         x = x + attn
 
@@ -207,6 +293,8 @@ class QwenVisionTower(nn.Module):
         token_perm: jnp.ndarray,  # natural->window order token permutation
         merged_reverse: jnp.ndarray,  # window->natural merged-unit inverse
         compute_dtype=jnp.float32,
+        win_pad: Optional[jnp.ndarray] = None,
+        win_unpad: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.cfg
         x = nn.Dense(
@@ -223,10 +311,20 @@ class QwenVisionTower(nn.Module):
 
                 @nn.compact
                 def __call__(self, carry, use_full):
-                    seg = jnp.where(use_full, grid_seg, window_seg)
+                    if win_pad is None:
+                        # legacy layout args: ragged-window flash
+                        seg = jnp.where(use_full, grid_seg, window_seg)
+                        return (
+                            VisionBlock(self.cfg_, name="block")(
+                                carry, cos, sin, seg
+                            ),
+                            None,
+                        )
                     return (
                         VisionBlock(self.cfg_, name="block")(
-                            carry, cos, sin, seg
+                            carry, cos, sin, grid_seg,
+                            win_pad=win_pad, win_unpad=win_unpad,
+                            use_full=use_full,  # traced -> lax.cond
                         ),
                         None,
                     )
@@ -246,11 +344,18 @@ class QwenVisionTower(nn.Module):
             x, _ = scan_cls(cfg, name="blocks_scan")(x, use_full)
         else:
             for i in range(cfg.depth):
-                seg = (
-                    grid_seg if i in cfg.fullatt_block_indexes
-                    else window_seg
-                )
-                x = VisionBlock(cfg, name=f"blocks_{i}")(x, cos, sin, seg)
+                full = i in cfg.fullatt_block_indexes
+                if win_pad is None:
+                    seg = grid_seg if full else window_seg
+                    x = VisionBlock(cfg, name=f"blocks_{i}")(
+                        x, cos, sin, seg
+                    )
+                else:
+                    x = VisionBlock(cfg, name=f"blocks_{i}")(
+                        x, cos, sin, grid_seg,
+                        win_pad=win_pad, win_unpad=win_unpad,
+                        use_full=full,
+                    )
 
         # merger: RMSNorm → concat 2x2 merge unit → MLP
         x = VisionRMSNorm(cfg.rms_norm_eps, name="merger_ln_q")(x)
@@ -267,12 +372,32 @@ class QwenVisionTower(nn.Module):
         return x[merged_reverse]  # back to natural order
 
 
+def _win_token_arrays(
+    win_pad_units: np.ndarray, win_unpad_units: np.ndarray, unit: int
+):
+    """Unit-level window gathers -> token-level (-1 stays -1)."""
+    wp = win_pad_units.astype(np.int64)
+    win_pad = np.where(
+        wp[:, None] >= 0,
+        wp[:, None] * unit + np.arange(unit)[None, :],
+        -1,
+    ).reshape(-1).astype(np.int32)
+    up = win_unpad_units.astype(np.int64)
+    win_unpad = (
+        up[:, None] * unit + np.arange(unit)[None, :]
+    ).reshape(-1).astype(np.int32)
+    return win_pad, win_unpad
+
+
 def layout_device_args(layout: VisionLayout, cfg: QwenVisionConfig):
     """Convert a VisionLayout into the device arrays QwenVisionTower takes."""
     unit = cfg.merge_unit
     token_perm = (
         layout.window_index[:, None] * unit + np.arange(unit)[None, :]
     ).reshape(-1)
+    win_pad, win_unpad = _win_token_arrays(
+        layout.win_pad_units, layout.win_unpad_units, unit
+    )
     return dict(
         hpos=jnp.asarray(layout.hpos),
         wpos=jnp.asarray(layout.wpos),
@@ -280,7 +405,21 @@ def layout_device_args(layout: VisionLayout, cfg: QwenVisionConfig):
         grid_seg=jnp.asarray(layout.grid_seg),
         token_perm=jnp.asarray(token_perm),
         merged_reverse=jnp.asarray(layout.reverse_index),
+        win_pad=jnp.asarray(win_pad),
+        win_unpad=jnp.asarray(win_unpad),
     )
+
+
+def win_budget_tokens(budget_tokens: int, cfg: QwenVisionConfig) -> int:
+    """Static padded-window stream budget for a given token budget.
+
+    Edge windows are padded to full tiles, so the window stream exceeds
+    the valid token count by a grid-dependent margin (worst realistic
+    case: small grids padding both axes, ~1.5x; asserted per batch in
+    pad_vision_inputs). Rounded up to whole tiles."""
+    tile = (cfg.window_size // cfg.patch_size) ** 2
+    need = budget_tokens + budget_tokens // 2
+    return -(-need // tile) * tile
 
 
 def pad_vision_inputs(
@@ -288,6 +427,7 @@ def pad_vision_inputs(
     layout: VisionLayout,
     cfg: QwenVisionConfig,
     budget_tokens: int,
+    win_budget: Optional[int] = None,
 ):
     """Pad ragged vision inputs to a fixed token budget for jitted steps.
 
@@ -297,6 +437,13 @@ def pad_vision_inputs(
     permutation maps padded merge units onto the padded tail, which the
     scatter in model.py never gathers (input sequences contain only the
     real vision-pad tokens).
+
+    The uniform-window gathers (`win_pad`/`win_unpad`) are padded to
+    `win_budget` (default `win_budget_tokens(budget_tokens, cfg)`) with
+    -1: budget-pad tokens are NOT gathered into any window — their
+    attention output comes from the -1 -> fill(0) unpad gather, and they
+    never reach the LM (the scatter skips them), so the sentinel-window
+    semantics of window_seg are preserved without representing them.
 
     Returns (patches (budget, F) np.float32, layout_args dict of np arrays).
     """
@@ -321,6 +468,22 @@ def pad_vision_inputs(
 
     merged_l = l // unit
     merged_pad = pad // unit
+    win_pad, win_unpad = _win_token_arrays(
+        layout.win_pad_units, layout.win_unpad_units, unit
+    )
+    wb = win_budget if win_budget is not None else win_budget_tokens(
+        budget_tokens, cfg
+    )
+    assert len(win_pad) <= wb, (
+        f"padded-window stream {len(win_pad)} exceeds win_budget {wb}; "
+        "raise win_budget (grids with extreme edge padding)"
+    )
+    win_pad = np.concatenate(
+        [win_pad, np.full(wb - len(win_pad), -1, np.int32)]
+    )
+    win_unpad = np.concatenate(
+        [win_unpad, np.full(budget_tokens - len(win_unpad), -1, np.int32)]
+    )
     layout_args = dict(
         hpos=pad1(layout.hpos, 0),
         wpos=pad1(layout.wpos, 0),
@@ -331,6 +494,8 @@ def pad_vision_inputs(
             layout.reverse_index.astype(np.int32),
             np.arange(merged_l, merged_l + merged_pad, dtype=np.int32),
         ]),
+        win_pad=win_pad,
+        win_unpad=win_unpad,
     )
     return patches, layout_args
 
@@ -340,6 +505,9 @@ def layout_device_args_np(layout: VisionLayout, cfg: QwenVisionConfig):
     token_perm = (
         layout.window_index[:, None] * unit + np.arange(unit)[None, :]
     ).reshape(-1).astype(np.int32)
+    win_pad, win_unpad = _win_token_arrays(
+        layout.win_pad_units, layout.win_unpad_units, unit
+    )
     return dict(
         hpos=layout.hpos,
         wpos=layout.wpos,
@@ -347,4 +515,6 @@ def layout_device_args_np(layout: VisionLayout, cfg: QwenVisionConfig):
         grid_seg=layout.grid_seg,
         token_perm=token_perm,
         merged_reverse=layout.reverse_index.astype(np.int32),
+        win_pad=win_pad,
+        win_unpad=win_unpad,
     )

@@ -131,12 +131,24 @@ def _flash_kernel(
         m_scratch[:] = m_new
         l_scratch[:] = l_new
 
+    # Segment-range block skipping: segment ids are typically contiguous
+    # runs (ViT windows in window order, packed sequences, validity
+    # prefixes), so a kv block whose id range doesn't intersect the q
+    # block's range is fully masked — skip its matmuls. min/max ranges
+    # make this conservative: arbitrary (non-contiguous) layouts simply
+    # skip less, never incorrectly (profiled: the Qwen ViT's 64-token
+    # windows made flash ~36% of the vision tower at 16% efficiency).
+    q_seg_blk = q_seg_ref[0, 0]
+    k_seg_blk = kv_seg_ref[0, 0]
+    visit = (jnp.max(q_seg_blk) >= jnp.min(k_seg_blk)) & (
+        jnp.min(q_seg_blk) <= jnp.max(k_seg_blk)
+    )
     if causal:
-        # Skip fully-masked kv blocks above the diagonal.
-        @pl.when(ki * block_k <= qi * block_q + block_q - 1)
-        def _():
-            compute()
-    else:
+        # also skip fully-masked kv blocks above the diagonal
+        visit = visit & (ki * block_k <= qi * block_q + block_q - 1)
+
+    @pl.when(visit)
+    def _():
         compute()
 
     @pl.when(ki == pl.num_programs(3) - 1)

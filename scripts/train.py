@@ -258,6 +258,7 @@ def main():
         state, tx = make_train_state(tcfg, params, mesh)
 
         vl_keys = ["hpos", "wpos", "window_seg", "grid_seg",
+                   "win_pad", "win_unpad",
                    "token_perm", "merged_reverse"]
 
         def loss_fn(p, batch):

@@ -87,3 +87,57 @@ def test_window_attention_matches_reference_segments():
     np.testing.assert_allclose(
         np.asarray(got_kernel), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_flash_interpret_block_skipping_windows():
+    """Segment-range kv-block skipping: window-ordered contiguous
+    segments spanning many blocks (the Qwen ViT layout) must match the
+    reference exactly — skipped blocks are provably fully-masked."""
+    lq = 512  # 4 blocks of 128; 16-token windows -> 32 segments
+    q = _rand((1, lq, 2, 32), 20)
+    k, v = _rand((1, lq, 2, 32), 21), _rand((1, lq, 2, 32), 22)
+    seg = jnp.asarray((np.arange(lq) // 16)[None, :], jnp.int32)
+    ref = mha_reference(q, k, v, segment_ids=seg)
+    got = flash_attention(
+        q, k, v, segment_ids=seg, interpret=True, block_q=128, block_k=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_flash_interpret_block_skipping_non_contiguous():
+    """Scrambled (non-contiguous) segment ids: ranges overlap almost
+    everywhere, so skipping degrades to no-skip — results must still
+    match the reference (the check is conservative, never wrong)."""
+    lq = 256
+    rng = np.random.default_rng(23)
+    q = _rand((1, lq, 2, 32), 24)
+    k, v = _rand((1, lq, 2, 32), 25), _rand((1, lq, 2, 32), 26)
+    seg = jnp.asarray(
+        rng.integers(0, 8, size=(1, lq)).astype(np.int32)
+    )
+    ref = mha_reference(q, k, v, segment_ids=seg)
+    got = flash_attention(
+        q, k, v, segment_ids=seg, interpret=True, block_q=128, block_k=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_flash_interpret_causal_with_segments_skipping():
+    """Causal + packed segments: diagonal skipping composes with the
+    segment-range check."""
+    lq = 256
+    q = _rand((1, lq, 2, 32), 27)
+    k, v = _rand((1, lq, 2, 32), 28), _rand((1, lq, 2, 32), 29)
+    seg = jnp.asarray((np.arange(lq) // 64)[None, :], jnp.int32)
+    ref = mha_reference(q, k, v, causal=True, segment_ids=seg)
+    got = flash_attention(
+        q, k, v, causal=True, segment_ids=seg, interpret=True,
+        block_q=128, block_k=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )

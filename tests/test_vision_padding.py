@@ -86,3 +86,49 @@ def test_padding_multiple_grids():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(base), rtol=2e-4, atol=2e-4
     )
+
+
+def test_uniform_window_path_matches_legacy_on_ragged_grid():
+    """The uniform-window attention path (win_pad/win_unpad gathers +
+    batched per-window attention) must equal the legacy ragged-window
+    segment-id path on a grid whose edge windows are partial. The tiny
+    config's window covers one merge unit (never ragged), so this test
+    widens the window to 2x2 units and uses a non-divisible grid."""
+    from rga3_tpu.models.qwen25vl.vision import QwenVisionTower
+
+    cfg = tiny_config(vocab_size=300).vision.replace(
+        window_size=56, fullatt_block_indexes=(1,)
+    )  # wsize = 56/2/14 = 2 merged units per window side
+    grid = (1, 6, 10)  # lh=3, lw=5 -> padded to 4x6: ragged edge windows
+    n_patches = 60
+    rng = np.random.default_rng(3)
+    patches = jnp.asarray(
+        rng.normal(size=(n_patches, 3 * 2 * 14 * 14)).astype(np.float32)
+    )
+    layout = compute_vision_layout([grid], cfg)
+    assert (layout.win_pad_units < 0).any(), "grid not ragged"
+    la = layout_device_args(layout, cfg)
+    la_legacy = {
+        k: v for k, v in la.items() if k not in ("win_pad", "win_unpad")
+    }
+    tower = QwenVisionTower(cfg)
+    params = tower.init(jax.random.PRNGKey(0), patches, **la)
+    out_new = tower.apply(params, patches, **la)
+    out_legacy = tower.apply(params, patches, **la_legacy)
+    np.testing.assert_allclose(
+        np.asarray(out_new), np.asarray(out_legacy), rtol=2e-4, atol=2e-4
+    )
+    # scanned blocks take the lax.cond branch — same equality
+    tower_s = QwenVisionTower(cfg.replace(scan_blocks=True))
+    from rga3_tpu.models.qwen25vl.loader import stack_qwen_layers
+
+    stacked = stack_qwen_layers(
+        {"params": {"lm": {"model": {}}, "visual": params["params"]}},
+        stack_vision=True,
+    )
+    out_scan = tower_s.apply(
+        {"params": stacked["params"]["visual"]}, patches, **la
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_legacy), rtol=2e-4, atol=2e-4
+    )
