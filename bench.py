@@ -280,6 +280,37 @@ def main():
                         "reference-recorded baseline for this workload"
                     ),
                     "peak_flops_per_chip": peak_flops_per_chip(),
+                    # round-3 chip measurements not re-run by this driver
+                    # (each would add minutes of fresh compiles); commands
+                    # reproduce them — details in STATUS.md r3 section
+                    "recorded_r3": {
+                        "train_step_mfu": 0.4185,
+                        "train_step_cmd": (
+                            "bench_train.py --vision --remat dots "
+                            "--batch 2 (3B LoRA, seq 512, 2 SAM frames; "
+                            "288.5 ms/step, 6.93 samples/s/chip; r2 was "
+                            "0.315)"
+                        ),
+                        "qa_stom_cotracker3_samples_per_sec": 1.057,
+                        "qa_stom_cmd": (
+                            "bench_qa.py --size 7b --int8 --batch 4 "
+                            "--stom cotracker3 --stom-bf16 (BASELINE "
+                            "config 5; tracker 699.7 ms/sample = 74% of "
+                            "pipeline; f32 tracker: 0.783)"
+                        ),
+                        "int4_decode_tok_per_sec": {"3b": 77.7, "7b": 39.7},
+                        "int4_note": (
+                            "loses to int8 (174/92.6): nibble dequant is "
+                            "VPU-bound (~1.7us/Mweight) vs a 4.3 ms HBM "
+                            "saving at 7B — int4's value on v5e is HBM "
+                            "capacity, not speed"
+                        ),
+                        "vision_tower_mfu": 0.491,
+                        "vision_note": (
+                            "uniform-window ViT attention (was 0.354); "
+                            "bench_fwd_legs.py --skip trunk,lm"
+                        ),
+                    },
                 },
             }
         )
