@@ -54,7 +54,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cotracker import bilinear_sample
+
 
 
 @dataclasses.dataclass(frozen=True)
@@ -356,6 +356,48 @@ def _stencil(radius: int) -> np.ndarray:
     return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)  # (P, 2)
 
 
+def stencil_sample(
+    fmap: jnp.ndarray, centers: jnp.ndarray, radius: int
+) -> jnp.ndarray:
+    """Bilinear samples at centers + the (2r+1)^2 integer stencil, from
+    ONE (2r+2)^2 gathered patch per center. fmap (h, w, c); centers
+    (N, 2) xy -> (N, P, c), P = (2r+1)^2, y-major point order (matches
+    `_stencil`).
+
+    Every stencil point shares the center's fractional offset, so the
+    4-corner lerp becomes 4 shifted windows of the patch — ~3x less
+    gather traffic than per-point `bilinear_sample` (4 corners x 49
+    points), which profiled as ~70% of the tracker's self time.
+    Identical to bilinear_sample for stencil points inside the map;
+    points beyond the edge replicate the border row/col (index clamp)
+    instead of collapsing the fraction (coordinate clamp) — both are
+    reconstruction choices, the official sampler being unverifiable
+    offline (see module docstring)."""
+    h, w, c = fmap.shape
+    n = centers.shape[0]
+    cx = jnp.clip(centers[:, 0], 0.0, w - 1.0)
+    cy = jnp.clip(centers[:, 1], 0.0, h - 1.0)
+    x0 = jnp.floor(cx).astype(jnp.int32)
+    y0 = jnp.floor(cy).astype(jnp.int32)
+    fx = (cx - x0).astype(fmap.dtype)[:, None, None, None]
+    fy = (cy - y0).astype(fmap.dtype)[:, None, None, None]
+    offs = jnp.arange(-radius, radius + 2)
+    xs = jnp.clip(x0[:, None] + offs[None], 0, w - 1)  # (N, S)
+    ys = jnp.clip(y0[:, None] + offs[None], 0, h - 1)
+    patch = fmap[ys[:, :, None], xs[:, None, :]]  # (N, S, S, c)
+    p00 = patch[:, :-1, :-1]
+    p01 = patch[:, :-1, 1:]
+    p10 = patch[:, 1:, :-1]
+    p11 = patch[:, 1:, 1:]
+    out = (
+        p00 * (1 - fx) * (1 - fy)
+        + p01 * fx * (1 - fy)
+        + p10 * (1 - fx) * fy
+        + p11 * fx * fy
+    )
+    return out.reshape(n, (2 * radius + 1) ** 2, c)
+
+
 class CoTracker3Offline(nn.Module):
     """Whole-clip point tracker.
 
@@ -398,21 +440,23 @@ class CoTracker3Offline(nn.Module):
         q_t = queries[:, 0].astype(jnp.int32)            # (N,)
         q_xy = queries[:, 1:3] * scale[None, :]          # (N, 2) grid px
 
-        stencil = jnp.asarray(_stencil(c.corr_radius))   # (P, 2)
         p = c.patch_points
 
         def sample_patches(fmap_t, centers):
-            # fmap_t (h, w, C); centers (N, 2) -> (N, P, C)
-            pts = centers[:, None, :] + stencil[None, :, :]
-            return bilinear_sample(fmap_t, pts)
+            # fmap_t (h, w, C); centers (N, 2) -> (N, P, C) — one patch
+            # gather per center instead of 4 corners x P points
+            return stencil_sample(fmap_t, centers, c.corr_radius)
 
         # track support patches at the query frame, per level
         support = []
         for lvl, fm in enumerate(pyramid):
             fm_q = fm[q_t]                                # (N, h, w, C)
             centers = q_xy / (2.0 ** lvl)
-            pts = centers[:, None, :] + stencil[None, :, :]
-            sup = jax.vmap(bilinear_sample)(fm_q, pts)    # (N, P, C)
+            sup = jax.vmap(
+                lambda f, ce: stencil_sample(
+                    f, ce[None], c.corr_radius
+                )[0]
+            )(fm_q, centers)                              # (N, P, C)
             support.append(sup.astype(dt))
 
         time_emb = get_1d_sincos_embed(c.input_dim, t_len)  # (T, input_dim)

@@ -260,3 +260,31 @@ def test_bf16_compute_dtype_matches_f32(tiny):
     assert d.max() < 1.0, d.max()
     dv = np.abs(np.asarray(out16["vis"]) - np.asarray(out32["vis"]))
     assert dv.max() < 0.5, dv.max()
+
+
+def test_stencil_sample_matches_bilinear_interior():
+    """stencil_sample == per-point bilinear_sample wherever the whole
+    stencil lies inside the map (the patch trick shares the center's
+    fractional offset — exact for interior points)."""
+    from rga3_tpu.models.stom.cotracker import bilinear_sample
+    from rga3_tpu.models.stom.cotracker3 import _stencil, stencil_sample
+
+    rng = np.random.default_rng(0)
+    h, w, c, r = 24, 32, 8, 3
+    fmap = jnp.asarray(rng.normal(size=(h, w, c)).astype(np.float32))
+    centers = jnp.asarray(
+        rng.uniform(r + 1, min(h, w) - r - 2, size=(10, 2)).astype(
+            np.float32
+        )
+    )
+    stencil = jnp.asarray(_stencil(r))
+    pts = centers[:, None, :] + stencil[None, :, :]
+    ref = bilinear_sample(fmap, pts)
+    got = stencil_sample(fmap, centers, r)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    # border centers stay finite and in-range (replication semantics)
+    edge = jnp.asarray([[0.3, 0.2], [w - 1.2, h - 1.1]], jnp.float32)
+    out = np.asarray(stencil_sample(fmap, edge, r))
+    assert np.isfinite(out).all()
