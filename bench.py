@@ -291,12 +291,13 @@ def main():
                             "288.5 ms/step, 6.93 samples/s/chip; r2 was "
                             "0.315)"
                         ),
-                        "qa_stom_cotracker3_samples_per_sec": 1.057,
+                        "qa_stom_cotracker3_samples_per_sec": 1.728,
                         "qa_stom_cmd": (
                             "bench_qa.py --size 7b --int8 --batch 4 "
                             "--stom cotracker3 --stom-bf16 (BASELINE "
-                            "config 5; tracker 699.7 ms/sample = 74% of "
-                            "pipeline; f32 tracker: 0.783)"
+                            "config 5; tracker 327.7 ms/sample = 57% of "
+                            "pipeline after bf16 + stencil_sample + "
+                            "uint8 device ship; f32 round-start: 0.783)"
                         ),
                         "int4_decode_tok_per_sec": {"3b": 77.7, "7b": 39.7},
                         "int4_note": (
