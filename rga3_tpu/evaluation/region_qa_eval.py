@@ -69,13 +69,10 @@ def run_videorefer_inference(
             )
             frames[key] = np.asarray(blended)
             if stom is not None and len(frames) > 1:
-                pil = [Image.fromarray(f) for f in frames]
-                frames = [
-                    np.asarray(f)
-                    for f in stom.propagate_in_video(
-                        pil, vip, key, shape="ellipse"
-                    )
-                ]
+                # ndarray in -> ndarray out: no PIL round-trip
+                frames = stom.propagate_in_video(
+                    frames, vip, key, shape="ellipse"
+                )
             pred = chat.answer(item["question"], video_frames=frames)
             out.write(json.dumps({
                 "id": item["id"], "pred": pred,

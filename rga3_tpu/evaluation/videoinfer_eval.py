@@ -56,13 +56,11 @@ def run_inference(
         if overlay is not None:
             key = item.get("key_idx", 0)
             if stom is not None:
-                pil_frames = [Image.fromarray(f) for f in frames]
-                vip = Image.fromarray(overlay, "RGBA")
-                blended = stom.propagate_in_video(
-                    pil_frames, vip, key,
+                # ndarray in -> ndarray out: no PIL round-trip
+                frames = stom.propagate_in_video(
+                    list(frames), overlay, key,
                     shape=item.get("shape", "rectangle"),
                 )
-                frames = [np.asarray(f) for f in blended]
             else:
                 base = Image.fromarray(frames[key]).convert("RGBA")
                 vip = Image.fromarray(overlay, "RGBA")

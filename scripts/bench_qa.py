@@ -181,8 +181,6 @@ def main():
         # config-5 leg: per QA sample the key-frame overlay is propagated
         # to every frame before the MLLM sees the video (the eval path in
         # evaluation/region_qa_eval.py / videoinfer_eval.py)
-        from PIL import Image
-
         from rga3_tpu.models.stom import STOM
 
         if args.stom == "cotracker3":
@@ -223,23 +221,23 @@ def main():
             f = rng.integers(0, 90, (480, 854, 3)).astype(np.uint8)
             f[140 + 12 * i:240 + 12 * i, 200 + 30 * i:320 + 30 * i] = 220
             frames_np.append(f)
-        pil_frames = [Image.fromarray(f) for f in frames_np]
         import cv2
 
         vip = np.zeros((480, 854, 4), np.uint8)
         cv2.ellipse(vip, (260, 190), (90, 80), 0, 0, 360,
                     (255, 0, 0, 255), 6)
-        vip_img = Image.fromarray(vip)
 
+        # ndarray frames in/out — the eval drivers' actual calling
+        # convention (videoinfer_eval.prepare decodes to numpy)
         t0 = time.time()
-        stom.propagate_in_video(pil_frames, vip_img, 0, shape="ellipse")
+        stom.propagate_in_video(frames_np, vip, 0, shape="ellipse")
         print(f"# stom compile+first {time.time()-t0:.1f}s",
               file=sys.stderr)
         best_stom = float("inf")
         for _ in range(args.samples):
             t0 = time.time()
             stom.propagate_in_video(
-                pil_frames, vip_img, 0, shape="ellipse"
+                frames_np, vip, 0, shape="ellipse"
             )
             best_stom = min(best_stom, time.time() - t0)
         qa_ms = 1000.0 / best  # per sample, batch amortized
