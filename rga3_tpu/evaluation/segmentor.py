@@ -89,7 +89,16 @@ class UniGRSegmentor:
         num_frames_mllm: int = 8,
         sam_chunk: int = 8,
         compute_dtype=None,
+        device_preprocess: bool = False,
     ):
+        """device_preprocess=True ships SAM frames to the device as
+        original-resolution uint8 (~1.2 MB/frame at 480x854 vs 6.3 MB of
+        host-resized bf16 at 1024²) and runs resize+normalize inside the
+        jitted encode. jax.image.resize(cubic, antialias) deviates from
+        the host path's PIL bicubic by ~0.4/255 mean abs on the input
+        pixels (tests pin mask-level equivalence); one extra compile per
+        distinct input resolution. Default keeps the host-exact PIL
+        path."""
         import jax
         import jax.numpy as jnp
 
@@ -99,6 +108,7 @@ class UniGRSegmentor:
         self.num_frames_mllm = num_frames_mllm
         self.sam_chunk = sam_chunk
         self.compute_dtype = compute_dtype or jnp.float32
+        self.device_preprocess = device_preprocess
 
         # jitted hot paths, params as ARGUMENTS (closure params would be
         # serialized into the HLO); created once so the jit cache persists
@@ -175,8 +185,23 @@ class UniGRSegmentor:
                     ),
                 )["high_res_masks"]
 
+        sam_size = (
+            model.cfg.sam1 if self._legacy else model.cfg.sam2
+        ).image_size
+
+        @jax.jit
+        def _sam_encode_u8(params, frames_u8):
+            # uint8 original-res frames -> resize + ImageNet normalize on
+            # device, then the same encode body (host path equivalent:
+            # sam_preprocess_frame, data/datasets/base.py:39-47)
+            from ..ops.resize import sam_preprocess_frames_device
+
+            x = sam_preprocess_frames_device(frames_u8, sam_size)
+            return _sam_encode(params, x.astype(cdtype))
+
         self._llm_seg = _llm_seg
         self._sam_encode = _sam_encode
+        self._sam_encode_u8 = _sam_encode_u8
         self._sam_decode_feats = _sam_decode_feats
 
     def _seg_embedding(
@@ -262,21 +287,32 @@ class UniGRSegmentor:
         chunk = self.sam_chunk
         for start in range(0, t_all, chunk):
             sub = frames[start : start + chunk]
-            sam_frames = np.stack(
-                [sam_preprocess_frame(f, sam_size) for f in sub]
-            )
             pad = chunk - len(sub)
-            if pad:
-                sam_frames = np.pad(
-                    sam_frames, ((0, pad), (0, 0), (0, 0), (0, 0))
+            if self.device_preprocess:
+                sam_u8 = np.stack(sub)
+                if pad:
+                    sam_u8 = np.pad(
+                        sam_u8, ((0, pad), (0, 0), (0, 0), (0, 0))
+                    )
+                feats = self._sam_encode_u8(
+                    self.params, jnp.asarray(sam_u8, jnp.uint8)
                 )
-            feats = self._sam_encode(
-                self.params, jnp.asarray(sam_frames, self.compute_dtype)
-            )
+            else:
+                sam_frames = np.stack(
+                    [sam_preprocess_frame(f, sam_size) for f in sub]
+                )
+                if pad:
+                    sam_frames = np.pad(
+                        sam_frames, ((0, pad), (0, 0), (0, 0), (0, 0))
+                    )
+                feats = self._sam_encode(
+                    self.params,
+                    jnp.asarray(sam_frames, self.compute_dtype),
+                )
             for ei, emb in zip(active, seg_embs):
                 lang = jnp.broadcast_to(
                     jnp.asarray(emb)[None, None, :],
-                    (sam_frames.shape[0], 1, self.model.cfg.seg.out_dim),
+                    (chunk, 1, self.model.cfg.seg.out_dim),
                 )
                 masks = self._sam_decode_feats(self.params, feats, lang)
                 masks = resize_bilinear(masks[:, 0], (h, w))

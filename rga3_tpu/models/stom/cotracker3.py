@@ -421,7 +421,10 @@ class CoTracker3Offline(nn.Module):
         # less host->device traffic through the relay — ~39 MB/clip f32
         # at 8x480x854 vs 9.8 MB uint8) and cast here
         frames = frames.astype(jnp.float32)
-        video = _resize_bilinear(frames, (mh, mw))
+        video = (
+            frames if (in_h, in_w) == (mh, mw)
+            else _resize_bilinear(frames, (mh, mw))
+        )
         video = (2.0 * (video / 255.0) - 1.0).astype(dt)
 
         fmaps = BasicEncoder(
@@ -530,11 +533,23 @@ class CoTracker3Predictor:
     """
 
     def __init__(self, params, model: Optional[CoTracker3Offline] = None,
-                 max_points: int = 256, vis_threshold: float = 0.6):
+                 max_points: int = 256, vis_threshold: float = 0.6,
+                 pre_resize: bool = True):
         self.model = model or CoTracker3Offline(cotracker3_offline_config())
         self.params = params
         self.max_points = max_points
         self.vis_threshold = vis_threshold
+        # pre_resize: downscale frames to cfg.model_resolution on the
+        # host (PIL BILINEAR ~= the model's first device op,
+        # jax.image.resize bilinear+antialias, within 1/255 even on
+        # noise) and ship uint8 at model resolution — at 8x480x854 this
+        # halves host->device bytes again (9.8 -> 4.7 MB/clip), and the
+        # relay transfer is the tracker leg's measured bottleneck
+        # (~40 MB/s: 247 ms ship vs 133 ms device compute+fetch).
+        # Queries/tracks are linearly rescaled; the uint8 requantization
+        # (±0.002 of the [-1,1] input) sits below the bf16 rounding the
+        # model applies to the normalized video anyway.
+        self.pre_resize = pre_resize
         self._apply = jax.jit(
             lambda p, f, q: self.model.apply(p, f, q)
         )
@@ -551,6 +566,29 @@ class CoTracker3Predictor:
         n = min(len(pts), self.max_points)
         sel = np.linspace(0, len(pts) - 1, n).astype(int)
         pts = pts[sel]
+
+        in_h, in_w = frames[0].shape[:2]
+        mh, mw = self.model.cfg.model_resolution
+        back = np.ones(2, np.float32)
+        if (
+            self.pre_resize
+            and (in_h, in_w) != (mh, mw)
+            and frames[0].dtype == np.uint8  # PIL path; f32 ships as-is
+        ):
+            from PIL import Image
+
+            frames = [
+                np.asarray(
+                    Image.fromarray(np.ascontiguousarray(f)).resize(
+                        (mw, mh), Image.BILINEAR
+                    )
+                )
+                for f in frames
+            ]
+            fwd = np.asarray([mw / in_w, mh / in_h], np.float32)
+            back = np.asarray([in_w / mw, in_h / mh], np.float32)
+            pts = pts * fwd[None, :]
+
         pad = self.max_points - n
         q = np.concatenate(
             [np.full((len(pts), 1), query_frame_idx, np.float32), pts],
@@ -562,7 +600,9 @@ class CoTracker3Predictor:
         # driver) — the model casts on device
         video = jnp.asarray(np.stack(frames))
         out = self._apply(self.params, video, jnp.asarray(q))
-        tracks = np.asarray(out["tracks"][-1])[:, :n]      # (T, n, 2)
+        tracks = (
+            np.asarray(out["tracks"][-1])[:, :n] * back[None, None, :]
+        )  # (T, n, 2) input-pixel coords
         vis_p = 1.0 / (1.0 + np.exp(-np.asarray(out["vis"])))
         conf_p = 1.0 / (1.0 + np.exp(-np.asarray(out["conf"])))
         visible = (vis_p * conf_p)[:, :n] > self.vis_threshold

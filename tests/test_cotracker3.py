@@ -288,3 +288,32 @@ def test_stencil_sample_matches_bilinear_interior():
     edge = jnp.asarray([[0.3, 0.2], [w - 1.2, h - 1.1]], jnp.float32)
     out = np.asarray(stencil_sample(fmap, edge, r))
     assert np.isfinite(out).all()
+
+
+@pytest.mark.slow
+def test_pre_resize_matches_device_resize(tiny):
+    """Host PIL-BILINEAR pre-resize + query/track rescaling tracks the
+    same points as shipping native-res frames and resizing on device
+    (the two resize kernels agree within ~1/255, below the bf16 floor
+    the model applies to the normalized video)."""
+    cfg, model, params, _, _ = tiny
+    rng = np.random.default_rng(2)
+    t, h, w = 4, 48, 64  # != cfg.model_resolution (64, 96)
+    frames = []
+    for i in range(t):
+        f = rng.uniform(0, 60, (h, w, 3))
+        f[10 + 2 * i:22 + 2 * i, 8 + 3 * i:24 + 3 * i] = 230.0
+        frames.append(f.astype(np.uint8))
+    mask = np.zeros((h, w), np.uint8)
+    mask[12:20, 10:22] = 1
+
+    pred_host = CoTracker3Predictor(params, model, max_points=16)
+    pred_dev = CoTracker3Predictor(params, model, max_points=16,
+                                   pre_resize=False)
+    tr_h, vis_h = pred_host.track(frames, mask, 0, grid_size=8)
+    tr_d, vis_d = pred_dev.track(frames, mask, 0, grid_size=8)
+    assert tr_h.shape == tr_d.shape
+    # random-weight tiny model amplifies input deltas; sub-pixel-scale
+    # agreement in input coords is what the swap must preserve
+    assert np.abs(tr_h - tr_d).max() < 1.5, np.abs(tr_h - tr_d).max()
+    assert (vis_h == vis_d).mean() > 0.9

@@ -128,3 +128,48 @@ def test_seg_messages_question_form_heuristic():
     msgs2 = build_seg_messages("the running dog.")
     assert "the running dog" in msgs2[0].content[1]["text"]
     assert "the running dog." not in msgs2[0].content[1]["text"]
+
+
+def test_device_preprocess_matches_host():
+    """sam_preprocess_frames_device ~= the host PIL path on smooth
+    content, and the segmentor's device-preprocess encode produces
+    features close to the host-preprocessed encode."""
+    import jax.numpy as jnp
+
+    from rga3_tpu.data.datasets.base import sam_preprocess_frame
+    from rga3_tpu.ops.resize import sam_preprocess_frames_device
+
+    # smooth gradient + soft blob (natural-image-like, not noise)
+    yy, xx = np.mgrid[0:50, 0:70].astype(np.float32)
+    img = np.stack(
+        [yy * 3, xx * 2, 255 * np.exp(-((yy - 25) ** 2 +
+                                        (xx - 35) ** 2) / 400)],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    host = sam_preprocess_frame(img, 64)
+    dev = np.asarray(sam_preprocess_frames_device(
+        jnp.asarray(img[None]), 64))[0]
+    # normalized units (std ~57.6); 0.05 ~= 2.9/255 raw pixels
+    assert np.abs(dev - host).mean() < 0.05
+    assert np.abs(dev - host).max() < 0.5
+
+
+def test_segment_video_multi_device_preprocess(segmentor):
+    """device_preprocess=True runs end-to-end and agrees with the host
+    path on the bulk of mask pixels."""
+    seg_dev = UniGRSegmentor(
+        segmentor.model, segmentor.params, segmentor.processor,
+        num_frames_mllm=2, sam_chunk=2, compute_dtype=jnp.float32,
+        device_preprocess=True,
+    )
+    yy, xx = np.mgrid[0:44, 0:52].astype(np.float32)
+    frames = [
+        np.stack([yy * 4 + 10 * i, xx * 3, (yy + xx) * 2], -1)
+        .clip(0, 255).astype(np.uint8)
+        for i in range(3)
+    ]
+    exprs = ["the red car"]
+    host = segmentor.segment_video_multi(frames, exprs)
+    dev = seg_dev.segment_video_multi(frames, exprs)
+    assert dev.shape == host.shape == (1, 3, 44, 52)
+    assert (dev == host).mean() > 0.95
