@@ -50,12 +50,14 @@ def run_inference(
 
         stom = STOM()
 
-    def prepare(item):
+    def prepare(item, pre_propagated=None):
         frames = item["frames"]  # list of np RGB
         overlay = item.get("vip_overlay")
         if overlay is not None:
             key = item.get("key_idx", 0)
-            if stom is not None:
+            if pre_propagated is not None:
+                frames = pre_propagated
+            elif stom is not None:
                 # ndarray in -> ndarray out: no PIL round-trip
                 frames = stom.propagate_in_video(
                     list(frames), overlay, key,
@@ -79,12 +81,38 @@ def run_inference(
             nonlocal n
             if not pending:
                 return
+            # one tracker dispatch for the whole batch's overlays
+            # (CoTracker3Predictor.track_batch; the per-call relay
+            # latency dominates the tracker leg)
+            todo = [
+                (j, it) for j, it in enumerate(pending)
+                if stom is not None
+                and it.get("vip_overlay") is not None
+            ]
+            props = {}
+            if todo:
+                outs = stom.propagate_in_video_batch([
+                    {
+                        "frames": list(it["frames"]),
+                        "vip": it["vip_overlay"],
+                        "key_idx": it.get("key_idx", 0),
+                        "shape": it.get("shape", "rectangle"),
+                    }
+                    for _, it in todo
+                ])
+                props = {j: o for (j, _), o in zip(todo, outs)}
+            rows = [
+                prepare(it, pre_propagated=props.get(j))
+                for j, it in enumerate(pending)
+            ]
             preds = chat.answer_batch(
-                [q for _, q, _ in pending],
-                video_frames_list=[f for _, _, f in pending],
+                [q for q, _ in rows],
+                video_frames_list=[f for _, f in rows],
             )
-            for (pid, _, _), pred in zip(pending, preds):
-                out.write(json.dumps({"id": pid, "pred": pred}) + "\n")
+            for it, pred in zip(pending, preds):
+                out.write(
+                    json.dumps({"id": it["id"], "pred": pred}) + "\n"
+                )
                 n += 1
             out.flush()
             pending.clear()
@@ -94,12 +122,12 @@ def run_inference(
                 continue
             if item["id"] in done_ids:
                 continue
-            question, frames = prepare(item)
             if batched:
-                pending.append((item["id"], question, frames))
+                pending.append(item)
                 if len(pending) >= batch_size:
                     flush()
                 continue
+            question, frames = prepare(item)
             pred = chat.answer(question, video_frames=frames)
             out.write(json.dumps({"id": item["id"], "pred": pred}) + "\n")
             out.flush()

@@ -553,15 +553,20 @@ class CoTracker3Predictor:
         self._apply = jax.jit(
             lambda p, f, q: self.model.apply(p, f, q)
         )
+        # batched variant: one dispatch tracks B clips (amortizes the
+        # relay's per-call latency across an eval batch); vmap over
+        # (frames, queries), params broadcast
+        self._apply_batch = jax.jit(jax.vmap(
+            lambda p, f, q: self.model.apply(p, f, q),
+            in_axes=(None, 0, 0),
+        ))
 
-    def track_points(self, frames: Sequence[np.ndarray], pts: np.ndarray,
-                     query_frame_idx: int):
-        """Track explicit (N, 2) points (padded/truncated to max_points
-        for a stable jit shape); returns (tracks (T, N, 2), vis)."""
-        t = len(frames)
-        if len(pts) == 0:
-            return (np.zeros((t, 0, 2), np.float32),
-                    np.zeros((t, 0), bool))
+    def _prep(self, frames: Sequence[np.ndarray], pts: np.ndarray,
+              query_frame_idx: int):
+        """Per-clip prep shared by the single and batched paths:
+        point subselection, optional host pre-resize + query scaling,
+        query padding to max_points. Returns
+        (video (T, h, w, 3) np, q (max_points, 3) f32, n, back (2,))."""
         pts = np.asarray(pts, np.float32)
         n = min(len(pts), self.max_points)
         sel = np.linspace(0, len(pts) - 1, n).astype(int)
@@ -596,28 +601,106 @@ class CoTracker3Predictor:
         )
         if pad:
             q = np.concatenate([q, np.tile(q[-1:], (pad, 1))], axis=0)
-        # ship the frames in their native dtype (uint8 from the STOM
-        # driver) — the model casts on device
-        video = jnp.asarray(np.stack(frames))
-        out = self._apply(self.params, video, jnp.asarray(q))
-        tracks = (
-            np.asarray(out["tracks"][-1])[:, :n] * back[None, None, :]
-        )  # (T, n, 2) input-pixel coords
-        vis_p = 1.0 / (1.0 + np.exp(-np.asarray(out["vis"])))
-        conf_p = 1.0 / (1.0 + np.exp(-np.asarray(out["conf"])))
+        return np.stack(frames), q, n, back
+
+    def _finish(self, out_tracks, out_vis, out_conf, n: int,
+                back: np.ndarray):
+        """(iters, T, P, 2) device outputs -> (tracks (T, n, 2) in
+        input-pixel coords, visible (T, n) bool)."""
+        tracks = np.asarray(out_tracks[-1])[:, :n] * back[None, None, :]
+        vis_p = 1.0 / (1.0 + np.exp(-np.asarray(out_vis)))
+        conf_p = 1.0 / (1.0 + np.exp(-np.asarray(out_conf)))
         visible = (vis_p * conf_p)[:, :n] > self.vis_threshold
         return tracks.astype(np.float32), visible
 
-    def track(self, frames: Sequence[np.ndarray], query_mask: np.ndarray,
-              query_frame_idx: int, grid_size: int = 100):
+    def track_points(self, frames: Sequence[np.ndarray], pts: np.ndarray,
+                     query_frame_idx: int):
+        """Track explicit (N, 2) points (padded/truncated to max_points
+        for a stable jit shape); returns (tracks (T, N, 2), vis)."""
+        t = len(frames)
+        if len(pts) == 0:
+            return (np.zeros((t, 0, 2), np.float32),
+                    np.zeros((t, 0), bool))
+        # ship the frames in their native dtype (uint8 from the STOM
+        # driver) — the model casts on device
+        video, q, n, back = self._prep(frames, pts, query_frame_idx)
+        out = self._apply(
+            self.params, jnp.asarray(video), jnp.asarray(q)
+        )
+        return self._finish(out["tracks"], out["vis"], out["conf"],
+                            n, back)
+
+    @staticmethod
+    def _mask_points(query_mask: np.ndarray, grid_size: int):
         from .tracker import sample_grid_points_in_mask
 
         pts = sample_grid_points_in_mask(query_mask, grid_size)
         if len(pts) == 0:
             ys, xs = np.nonzero(query_mask)
             if len(ys) == 0:
-                t = len(frames)
-                return (np.zeros((t, 0, 2), np.float32),
-                        np.zeros((t, 0), bool))
+                return np.zeros((0, 2), np.float32)
             pts = np.stack([xs, ys], -1).astype(np.float32)[:1]
+        return pts
+
+    def track(self, frames: Sequence[np.ndarray], query_mask: np.ndarray,
+              query_frame_idx: int, grid_size: int = 100):
+        pts = self._mask_points(query_mask, grid_size)
+        if len(pts) == 0:
+            t = len(frames)
+            return (np.zeros((t, 0, 2), np.float32),
+                    np.zeros((t, 0), bool))
         return self.track_points(frames, pts, query_frame_idx)
+
+    def track_batch(
+        self,
+        frames_list: Sequence[Sequence[np.ndarray]],
+        masks: Sequence[np.ndarray],
+        query_frame_idxs: Sequence[int],
+        grid_size: int = 100,
+    ):
+        """Track B clips in ONE device dispatch (vmapped apply) — the
+        relay's per-call transfer+latency dominates the tracker leg, so
+        batching an eval batch's clips amortizes it. Clips must share a
+        frame count; with pre_resize their resolutions may differ (all
+        land at model_resolution). Returns a list of (tracks, vis)."""
+        b = len(frames_list)
+        results: List = [None] * b
+        preps = []
+        live = []
+        for i in range(b):
+            pts = self._mask_points(masks[i], grid_size)
+            t = len(frames_list[i])
+            if len(pts) == 0:
+                results[i] = (np.zeros((t, 0, 2), np.float32),
+                              np.zeros((t, 0), bool))
+                continue
+            preps.append(
+                self._prep(frames_list[i], pts, query_frame_idxs[i])
+            )
+            live.append(i)
+        if not live:
+            return results
+        shapes = {p[0].shape for p in preps}
+        if len(shapes) > 1:
+            # ragged T or (without pre_resize) mixed resolutions: fall
+            # back to per-clip dispatch
+            for i, (video, q, n, back) in zip(live, preps):
+                out = self._apply(
+                    self.params, jnp.asarray(video), jnp.asarray(q)
+                )
+                results[i] = self._finish(
+                    out["tracks"], out["vis"], out["conf"], n, back
+                )
+            return results
+        videos = jnp.asarray(np.stack([p[0] for p in preps]))
+        qs = jnp.asarray(np.stack([p[1] for p in preps]))
+        out = self._apply_batch(self.params, videos, qs)
+        tracks_np = np.asarray(out["tracks"])  # (B, iters, T, P, 2)
+        vis_np = np.asarray(out["vis"])
+        conf_np = np.asarray(out["conf"])
+        for j, i in enumerate(live):
+            _, _, n, back = preps[j]
+            results[i] = self._finish(
+                tracks_np[j], vis_np[j], conf_np[j], n, back
+            )
+        return results

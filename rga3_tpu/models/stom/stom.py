@@ -200,8 +200,67 @@ class STOM:
             frames, src_frame_vip, vip_frame_idx, grid_size,
             _frames_rgb=frames_rgb,
         )
+        out = self._compose_from_tracks(
+            frames_rgb, tracks, vis, np.asarray(src_frame_vip),
+            vip_frame_idx, shape,
+        )
+        if want_pil:
+            return [Image.fromarray(a, "RGB") for a in out]
+        return out
+
+    def propagate_in_video_batch(
+        self,
+        batch: Sequence[dict],
+        grid_size: int = 100,
+    ) -> List[List[np.ndarray]]:
+        """Propagate B samples' overlays with ONE tracker dispatch when
+        the backend supports it (CoTracker3Predictor.track_batch) — the
+        per-call relay latency dominates the tracker leg, so an eval
+        batch's clips should ride one device call.
+
+        batch: [{"frames": [np RGB or PIL], "vip": RGBA np/PIL,
+                 "key_idx": int, "shape": str}].
+        Returns per-sample frame lists (same form as the input frames).
+        """
+        arrs = [self._frames_to_rgb(s["frames"]) for s in batch]
+        vips = [np.asarray(s["vip"]) for s in batch]
+        idxs = [s.get("key_idx", 0) for s in batch]
+        masks = [
+            self._query_mask(v) if (v[:, :, 3] > 0).any()
+            else np.zeros(v.shape[:2], np.uint8)
+            for v in vips
+        ]
+        if hasattr(self.tracker, "track_batch") and len(
+            {len(a) for a in arrs}
+        ) == 1:
+            tr = self.tracker.track_batch(
+                arrs, masks, idxs, grid_size=grid_size
+            )
+        else:
+            tr = [
+                self.tracker.track(a, m, i, grid_size=grid_size)
+                for a, m, i in zip(arrs, masks, idxs)
+            ]
+        outs = []
+        for s, a, v, i, (tracks, vis) in zip(batch, arrs, vips, idxs, tr):
+            out = self._compose_from_tracks(
+                a, tracks, vis, v, i, s.get("shape", "rectangle")
+            )
+            if not isinstance(s["frames"][0], np.ndarray):
+                out = [Image.fromarray(x, "RGB") for x in out]
+            outs.append(out)
+        return outs
+
+    def _compose_from_tracks(
+        self,
+        frames_rgb: List[np.ndarray],
+        tracks: np.ndarray,
+        vis: np.ndarray,
+        src_vip: np.ndarray,
+        vip_frame_idx: int,
+        shape: str,
+    ) -> List[np.ndarray]:
         vip_track = tracks[vip_frame_idx]
-        src_vip = np.asarray(src_frame_vip)
         bbox = _rgba_bbox(src_vip)
         if bbox is None:
             patch, py0, px0 = src_vip[:0, :0], 0, 0
@@ -253,6 +312,4 @@ class STOM:
                     patch, py0, px0, tgt_rgb, avg_dy, avg_dx
                 )
             )
-        if want_pil:
-            return [Image.fromarray(a, "RGB") for a in out]
         return out

@@ -228,22 +228,34 @@ def main():
                     (255, 0, 0, 255), 6)
 
         # ndarray frames in/out — the eval drivers' actual calling
-        # convention (videoinfer_eval.prepare decodes to numpy)
+        # convention (videoinfer_eval.prepare decodes to numpy). With
+        # --batch > 1 the eval driver propagates the batch's overlays in
+        # ONE tracker dispatch (propagate_in_video_batch), so bench the
+        # same shape.
+        stom_batch = [
+            {
+                "frames": [np.clip(f.astype(np.int16) + b, 0, 255)
+                           .astype(np.uint8) for f in frames_np],
+                "vip": vip,
+                "key_idx": 0,
+                "shape": "ellipse",
+            }
+            for b in range(args.batch)
+        ]
         t0 = time.time()
-        stom.propagate_in_video(frames_np, vip, 0, shape="ellipse")
+        stom.propagate_in_video_batch(stom_batch)
         print(f"# stom compile+first {time.time()-t0:.1f}s",
               file=sys.stderr)
         best_stom = float("inf")
         for _ in range(args.samples):
             t0 = time.time()
-            stom.propagate_in_video(
-                frames_np, vip, 0, shape="ellipse"
-            )
+            stom.propagate_in_video_batch(stom_batch)
             best_stom = min(best_stom, time.time() - t0)
         qa_ms = 1000.0 / best  # per sample, batch amortized
-        stom_ms = 1000.0 * best_stom
+        stom_ms = 1000.0 * best_stom / args.batch
         stom_info = {
             "backend": args.stom,
+            "batched": args.batch,
             "ms_per_sample": round(stom_ms, 1),
             "qa_ms_per_sample": round(qa_ms, 1),
             "share_of_pipeline": round(stom_ms / (stom_ms + qa_ms), 4),

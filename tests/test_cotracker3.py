@@ -317,3 +317,36 @@ def test_pre_resize_matches_device_resize(tiny):
     # agreement in input coords is what the swap must preserve
     assert np.abs(tr_h - tr_d).max() < 1.5, np.abs(tr_h - tr_d).max()
     assert (vis_h == vis_d).mean() > 0.9
+
+
+@pytest.mark.slow
+def test_track_batch_matches_single(tiny):
+    """One vmapped dispatch over B clips == per-clip track calls
+    (incl. mixed native resolutions unified by pre_resize, and an
+    empty-mask sample)."""
+    cfg, model, params, _, _ = tiny
+    rng = np.random.default_rng(3)
+    t = 4
+    clips, masks = [], []
+    for b, (h, w) in enumerate([(48, 64), (40, 56), (48, 64)]):
+        frames = []
+        for i in range(t):
+            f = rng.uniform(0, 60, (h, w, 3))
+            f[8 + 2 * i:20 + 2 * i, 6 + 3 * i:20 + 3 * i] = 220.0
+            frames.append(f.astype(np.uint8))
+        clips.append(frames)
+        m = np.zeros((h, w), np.uint8)
+        if b != 2:  # third sample: empty mask
+            m[10:18, 8:18] = 1
+        masks.append(m)
+    idxs = [0, 1, 0]
+    pred = CoTracker3Predictor(params, model, max_points=8)
+    got = pred.track_batch(clips, masks, idxs, grid_size=6)
+    for i in range(3):
+        tr_s, vis_s = pred.track(clips[i], masks[i], idxs[i], grid_size=6)
+        tr_b, vis_b = got[i]
+        assert tr_b.shape == tr_s.shape
+        np.testing.assert_allclose(tr_b, tr_s, atol=5e-2)
+        if vis_s.size:
+            assert (vis_b == vis_s).mean() > 0.95
+    assert got[2][0].shape == (t, 0, 2)

@@ -136,3 +136,34 @@ def test_numpy_io_matches_pil_io():
     assert all(isinstance(f, np.ndarray) for f in out_np)
     for a, b in zip(out_pil, out_np):
         assert np.array_equal(np.asarray(a), b)
+
+
+def test_propagate_batch_matches_sequential():
+    """propagate_in_video_batch == per-sample propagate_in_video (LK
+    backend exercises the no-track_batch fallback)."""
+    from tests.test_stom import _overlay_rect, _synthetic_video
+
+    frames = [np.asarray(f) for f in _synthetic_video()]
+    vip = np.asarray(_overlay_rect())
+    vip2 = np.zeros_like(vip)
+    vip2[50:70, 30:70] = (0, 0, 255, 120)
+
+    s = STOM()
+    batch = [
+        {"frames": frames, "vip": vip, "key_idx": 0,
+         "shape": "rectangle"},
+        {"frames": frames, "vip": vip2, "key_idx": 0, "shape": "mask"},
+        # empty overlay: frames pass through unchanged
+        {"frames": frames, "vip": np.zeros_like(vip), "key_idx": 0,
+         "shape": "rectangle"},
+    ]
+    outs = s.propagate_in_video_batch(batch, grid_size=40)
+    for spec, got in zip(batch[:2], outs[:2]):
+        want = STOM().propagate_in_video(
+            spec["frames"], spec["vip"], spec["key_idx"],
+            shape=spec["shape"], grid_size=40,
+        )
+        for a, b in zip(got, want):
+            assert np.array_equal(a, b)
+    for a, b in zip(outs[2], frames):
+        assert np.array_equal(a, b)

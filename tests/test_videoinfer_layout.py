@@ -87,3 +87,64 @@ def test_eval_result_and_batch_requests(tmp_path):
     assert {r["custom_id"] for r in reqs} == {
         "video0001____0____q0", "video0001____0____q1"
     }
+
+
+def test_run_inference_batched_stom_matches_sequential(tmp_path):
+    """batch_size>1 propagates the batch's overlays in ONE
+    propagate_in_video_batch call and produces the same predictions as
+    the sequential path (same STOM math, same frames to the chat)."""
+    import numpy as np
+
+    from rga3_tpu.evaluation.videoinfer_eval import run_inference
+
+    rng = np.random.default_rng(0)
+    T, H, W = 4, 64, 80
+
+    def make_item(iid, has_overlay=True):
+        frames = []
+        for i in range(T):
+            f = np.full((H, W, 3), 20, np.uint8)
+            f[20:40, 10 + 5 * i:30 + 5 * i] = rng.integers(
+                0, 255, (20, 20, 3), dtype=np.uint8)
+            frames.append(f)
+        overlay = None
+        if has_overlay:
+            overlay = np.zeros((H, W, 4), np.uint8)
+            overlay[18:42, 8:32] = (255, 0, 0, 150)
+            overlay[22:38, 12:28] = 0
+        return {"id": iid, "frames": frames, "question": f"q {iid}",
+                "vip_overlay": overlay, "key_idx": 0,
+                "shape": "rectangle"}
+
+    items = [make_item("a"), make_item("b"), make_item("c", False)]
+
+    class StubChat:
+        def __init__(self):
+            self.frames_seen = {}
+
+        def answer(self, question, video_frames=None):
+            self.frames_seen[question] = [f.copy() for f in video_frames]
+            return f"ans:{question}"
+
+        def answer_batch(self, questions, video_frames_list=None):
+            for q, fl in zip(questions, video_frames_list):
+                self.frames_seen[q] = [f.copy() for f in fl]
+            return [f"ans:{q}" for q in questions]
+
+    seq_chat, bat_chat = StubChat(), StubChat()
+    p_seq, p_bat = str(tmp_path / "seq.jsonl"), str(tmp_path / "bat.jsonl")
+    n1 = run_inference(seq_chat, items, p_seq, use_stom=True)
+    n2 = run_inference(bat_chat, items, p_bat, use_stom=True,
+                       batch_size=2)
+    assert n1 == n2 == 3
+    import json
+
+    seq = {json.loads(l)["id"]: json.loads(l)["pred"]
+           for l in open(p_seq)}
+    bat = {json.loads(l)["id"]: json.loads(l)["pred"]
+           for l in open(p_bat)}
+    assert seq == bat
+    # identical propagated frames fed to the chat in both modes
+    for q in seq_chat.frames_seen:
+        for a, b in zip(seq_chat.frames_seen[q], bat_chat.frames_seen[q]):
+            assert np.array_equal(a, b)
