@@ -16,12 +16,22 @@ utilization, not just fps.
 The BASELINE north star is **VideoInfer per-chip QA throughput** (vision
 tower + 320 video-token prefill + 64-token greedy decode, ref
 inference_videoinfer.py:312-321), so that workload is measured too —
-7B int8 at batch 4, run in a subprocess (scripts/bench_qa.py) so its
-~8 GB of weights never coexist with the SAM2 tree on the 16 GB chip —
-and surfaced top-level as `videoinfer_qa_samples_per_sec_chip`.
+7B int8 at batch 16 (the serving configuration), run in a subprocess
+(scripts/bench_qa.py) so its ~8 GB of weights never coexist with the
+SAM2 tree on the 16 GB chip — and surfaced top-level as
+`videoinfer_qa_samples_per_sec_chip`. Two more headline legs run the
+same way (each skippable via RGA3_BENCH_SKIP_*):
+  - BASELINE config 5: VideoInfer QA + STOM CoTracker3 propagation
+    (bench_qa --stom cotracker3 --stom-bf16, ref
+    inference_videoinfer.py:199,259-270).
+  - Release-shape train step: 3B LoRA single-chip proxy of the
+    reference's hot loop — 8 MLLM frames (320 merged video tokens),
+    4 SAM frames, micro-bs 2 (ref run_torchrun.sh:14-49).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra",
-"videoinfer_qa_samples_per_sec_chip", "videoinfer_qa_mfu"}.
+"videoinfer_qa_samples_per_sec_chip", "videoinfer_qa_mfu"} — and appends
+that same line (timestamped) to BENCH_HISTORY.jsonl so a relay outage at
+snapshot time can never erase a round's measurements.
 """
 import json
 import os
@@ -76,33 +86,28 @@ def _probe_device(timeout_s: int = 150, attempts: int = 3) -> None:
     raise SystemExit(3)
 
 
-def _measure_qa_pipeline() -> dict:
-    """North-star workload in a subprocess: 7B int8 QA pipeline, batch 16
-    (vision + 320-token video prefill + 64 new tokens). Returns the
-    bench_qa JSON dict, or {"error": ...} — the SAM2 primary metric must
-    still print if this leg fails."""
+def _run_bench_subprocess(script: str, argv: list, skip_env: str,
+                          timeout: int = 2400) -> dict:
+    """Run one bench leg in a subprocess (so 7B weight trees never
+    coexist with the SAM2 tree on the 16 GB chip) and parse its last
+    JSON stdout line. Returns {"error": ...} on any failure — the SAM2
+    primary metric must still print if a leg fails."""
     import subprocess
     import sys
 
-    if os.environ.get("RGA3_BENCH_SKIP_QA"):
-        return {"error": "skipped via RGA3_BENCH_SKIP_QA"}
+    if os.environ.get(skip_env):
+        return {"error": f"skipped via {skip_env}"}
     cmd = [
         sys.executable,
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "scripts", "bench_qa.py"),
-        "--size", "7b", "--int8", "--batch", "16",
-        # batch 16: decode is weight-bound so samples/s scales with the
-        # batch (chip sweep: 4.00 @ b4, 5.68 @ b8, 6.79 @ b16/chip) —
-        # the reference shards one sample per GPU, so per-chip batching
-        # is a legitimate architectural advantage, reported as the
-        # serving configuration
-    ]
+                     "scripts", script),
+    ] + argv
     try:
         r = subprocess.run(
-            cmd, capture_output=True, timeout=2400, text=True
+            cmd, capture_output=True, timeout=timeout, text=True
         )
     except subprocess.TimeoutExpired:
-        return {"error": "bench_qa timed out after 2400s"}
+        return {"error": f"{script} timed out after {timeout}s"}
     for line in reversed(r.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -111,14 +116,79 @@ def _measure_qa_pipeline() -> dict:
             except json.JSONDecodeError:
                 pass
     return {
-        "error": f"bench_qa exit {r.returncode}: "
+        "error": f"{script} exit {r.returncode}: "
         f"{(r.stderr or '').strip()[-300:]}"
     }
 
 
+def _measure_qa_pipeline() -> dict:
+    # batch 16: decode is weight-bound so samples/s scales with the
+    # batch (chip sweep: 4.00 @ b4, 5.68 @ b8, 6.79 @ b16/chip; b32
+    # measured WORSE — prefill grows linearly past the decode
+    # amortization point) — the reference shards one sample per GPU, so
+    # per-chip batching is a legitimate architectural advantage,
+    # reported as the serving configuration
+    return _run_bench_subprocess(
+        "bench_qa.py",
+        ["--size", "7b", "--int8", "--batch", "16"],
+        "RGA3_BENCH_SKIP_QA",
+    )
+
+
+def _measure_qa_stom() -> dict:
+    """BASELINE config 5: the full VideoInfer pipeline with STOM
+    CoTracker3 visual-prompt propagation (ref
+    inference_videoinfer.py:199,259-270 --use_stom)."""
+    return _run_bench_subprocess(
+        "bench_qa.py",
+        ["--size", "7b", "--int8", "--batch", "4",
+         "--stom", "cotracker3", "--stom-bf16"],
+        "RGA3_BENCH_SKIP_STOM",
+    )
+
+
+def _measure_train_release_shape() -> dict:
+    """Release-shape train step, single-chip 3B proxy of the reference's
+    hot loop (ref run_torchrun.sh:14-49: 7B LoRA, 8 MLLM / 4 SAM frames,
+    micro-bs 2 × accum 8 — accum multiplies step count, not the
+    per-step shape; 7B training does not fit one 16 GB v5e chip)."""
+    return _run_bench_subprocess(
+        "bench_train.py",
+        ["--size", "3b", "--vision", "--sam-frames", "4",
+         "--batch", "2", "--remat", "dots"],
+        "RGA3_BENCH_SKIP_TRAIN",
+    )
+
+
+def _append_history(record: dict) -> None:
+    """Durable evidence: append each successful bench run to a committed
+    BENCH_HISTORY.jsonl so a snapshot-time relay outage cannot erase a
+    round's measurements (VERDICT r3 'what's weak' #1)."""
+    import datetime
+
+    rec = dict(record)
+    rec["ts"] = datetime.datetime.now(datetime.timezone.utc).isoformat(
+        timespec="seconds"
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+    )
+    try:
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError as e:  # never fail the bench over the audit trail
+        import sys
+
+        print(f"bench.py: BENCH_HISTORY append failed: {e}",
+              file=sys.stderr)
+
+
 def main():
     _probe_device()
-    qa = _measure_qa_pipeline()  # subprocess first: the chip is free
+    # subprocess legs first: the chip is free of this process's trees
+    qa = _measure_qa_pipeline()
+    qa_stom = _measure_qa_stom()
+    train_rel = _measure_train_release_shape()
     import jax
     import jax.numpy as jnp
 
@@ -256,71 +326,55 @@ def main():
     mfu_decode = mfu(flops_decode, B / fps_decode)
 
     qa_fps = qa.get("value")
-    print(
-        json.dumps(
-            {
-                "metric": "sam2_hiera_l_1024_memory_tracking_throughput",
-                "value": round(fps_track, 2),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps_track / BASELINE_TRACK_FPS, 3),
-                # north star (BASELINE.md): VideoInfer per-chip QA
-                # throughput — no reference-recorded H800 number exists,
-                # so reported absolute (samples/sec/chip, 7B int8 batch 4)
-                "videoinfer_qa_samples_per_sec_chip": qa_fps,
-                "videoinfer_qa_mfu": qa.get("mfu"),
-                "extra": {
-                    "videoinfer_qa": qa,
-                    "baseline_fps": BASELINE_TRACK_FPS,
-                    "baseline_note": (
-                        "ref model/sam2.py:3783-3785 — 768^2 model, 1 "
-                        "object, GPU state; this run is the full Hiera-L "
-                        "at 1024^2 (1.78x pixels/frame)"
-                    ),
-                    "mfu": round(mfu_track, 4),
-                    "decode_fps": round(fps_decode, 2),
-                    "decode_mfu": round(mfu_decode, 4),
-                    "decode_note": (
-                        "batched no-memory language decode — the real "
-                        "UniGR eval hot path (ref sam2.py:4095-4100); no "
-                        "reference-recorded baseline for this workload"
-                    ),
-                    "peak_flops_per_chip": peak_flops_per_chip(),
-                    # round-3 chip measurements not re-run by this driver
-                    # (each would add minutes of fresh compiles); commands
-                    # reproduce them — details in STATUS.md r3 section
-                    "recorded_r3": {
-                        "train_step_mfu": 0.4185,
-                        "train_step_cmd": (
-                            "bench_train.py --vision --remat dots "
-                            "--batch 2 (3B LoRA, seq 512, 2 SAM frames; "
-                            "288.5 ms/step, 6.93 samples/s/chip; r2 was "
-                            "0.315)"
-                        ),
-                        "qa_stom_cotracker3_samples_per_sec": 1.728,
-                        "qa_stom_cmd": (
-                            "bench_qa.py --size 7b --int8 --batch 4 "
-                            "--stom cotracker3 --stom-bf16 (BASELINE "
-                            "config 5; tracker 327.7 ms/sample = 57% of "
-                            "pipeline after bf16 + stencil_sample + "
-                            "uint8 device ship; f32 round-start: 0.783)"
-                        ),
-                        "int4_decode_tok_per_sec": {"3b": 77.7, "7b": 39.7},
-                        "int4_note": (
-                            "loses to int8 (174/92.6): nibble dequant is "
-                            "VPU-bound (~1.7us/Mweight) vs a 4.3 ms HBM "
-                            "saving at 7B — int4's value on v5e is HBM "
-                            "capacity, not speed"
-                        ),
-                        "vision_tower_mfu": 0.491,
-                        "vision_note": (
-                            "uniform-window ViT attention (was 0.354); "
-                            "bench_fwd_legs.py --skip trunk,lm"
-                        ),
-                    },
-                },
-            }
-        )
-    )
+    record = {
+        "metric": "sam2_hiera_l_1024_memory_tracking_throughput",
+        "value": round(fps_track, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps_track / BASELINE_TRACK_FPS, 3),
+        # north star (BASELINE.md): VideoInfer per-chip QA
+        # throughput — no reference-recorded H800 number exists,
+        # so reported absolute (samples/sec/chip, 7B int8 batch 16)
+        "videoinfer_qa_samples_per_sec_chip": qa_fps,
+        "videoinfer_qa_mfu": qa.get("mfu"),
+        "extra": {
+            "videoinfer_qa": qa,
+            # BASELINE config 5 — QA + STOM CoTracker3 propagation
+            "videoinfer_qa_stom_cotracker3": qa_stom,
+            # single-chip 3B proxy of the reference release train shape
+            "train_release_shape": train_rel,
+            "baseline_fps": BASELINE_TRACK_FPS,
+            "baseline_note": (
+                "ref model/sam2.py:3783-3785 — 768^2 model, 1 "
+                "object, GPU state; this run is the full Hiera-L "
+                "at 1024^2 (1.78x pixels/frame)"
+            ),
+            "mfu": round(mfu_track, 4),
+            "decode_fps": round(fps_decode, 2),
+            "decode_mfu": round(mfu_decode, 4),
+            "decode_note": (
+                "batched no-memory language decode — the real "
+                "UniGR eval hot path (ref sam2.py:4095-4100); no "
+                "reference-recorded baseline for this workload"
+            ),
+            "peak_flops_per_chip": peak_flops_per_chip(),
+            "recorded_notes": {
+                "int4_decode_tok_per_sec": {"3b": 77.7, "7b": 39.7},
+                "int4_note": (
+                    "loses to int8 (174/92.6): nibble dequant is "
+                    "VPU-bound (~1.7us/Mweight) vs a 4.3 ms HBM "
+                    "saving at 7B — int4's value on v5e is HBM "
+                    "capacity, not speed (r3 measurement)"
+                ),
+                "vision_tower_mfu": 0.491,
+                "vision_note": (
+                    "uniform-window ViT attention (was 0.354); "
+                    "bench_fwd_legs.py --skip trunk,lm (r3)"
+                ),
+            },
+        },
+    }
+    _append_history(record)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -217,3 +217,231 @@ def benchmark_tracker(
                 float(np.mean(occ_errs)), 3
             )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Layered training generator (round 4): background + independently-moving
+# foreground sprites + occluders, with TRUE visibility labels. The flat
+# similarity-warp generator above lets a tracker cheat by estimating one
+# global motion; real STOM clips have object-vs-camera parallax and the
+# reference relies on CoTracker3's whole-clip attention to re-acquire
+# points after occlusion (ref model/STOM.py:59-65 backward_tracking).
+# ---------------------------------------------------------------------------
+
+
+def _similarity_path(
+    rng: np.random.Generator, t: int, max_speed: float,
+    rot_scale: float = 1.0,
+) -> list:
+    """Per-frame (A (2,2), t (2,)) similarity transforms: frame-ti pixel p
+    maps to layer-texture coords A @ (p - c) + c + t (c supplied later)."""
+    vel = rng.uniform(-max_speed, max_speed, size=2)
+    # mild acceleration so motion is not perfectly linear in time
+    acc = rng.uniform(-max_speed / 8, max_speed / 8, size=2)
+    rot_rate = rng.uniform(-0.02, 0.02) * rot_scale
+    scale_rate = rng.uniform(-0.005, 0.005) * rot_scale
+    mats = []
+    for ti in range(t):
+        ang = rot_rate * ti
+        s = 1.0 + scale_rate * ti
+        ca, sa = np.cos(ang) * s, np.sin(ang) * s
+        a = np.array([[ca, -sa], [sa, ca]], np.float32)
+        tv = (vel * ti + 0.5 * acc * ti * ti).astype(np.float32)
+        mats.append((a, tv))
+    return mats
+
+
+def make_training_clip(
+    rng: np.random.Generator,
+    t: int = 8,
+    h: int = 160,
+    w: int = 224,
+    n_points: int = 48,
+    max_speed: float = 8.0,
+    n_fg: Tuple[int, int] = (0, 2),
+    occluder_prob: float = 0.7,
+    random_query_frame: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One supervised clip: (frames (T,H,W,3) [0,1], queries (N,3)
+    (t0,x,y), gt_tracks (T,N,2), gt_vis (T,N) bool).
+
+    Layers, back to front: a similarity-warped background texture;
+    0..n_fg[1] textured elliptical sprites each following its OWN
+    similarity path (points are tracked on sprites and background both —
+    parallax means no single global motion explains the clip); with
+    probability `occluder_prob` one opaque occluder sprite sweeping over
+    the densest tracked region (nothing is tracked on it; it only hides
+    points). Visibility is exact: a point is visible iff in-bounds and
+    not covered by any layer above its own. Per-clip speed is drawn
+    uniformly from [0.5, max_speed] so one curriculum covers the smooth
+    and large-motion regimes."""
+    speed = float(rng.uniform(0.5, max_speed))
+    margin = int(speed * t + 8)
+    texture = _smooth_noise(rng, h + 2 * margin, w + 2 * margin)
+    cx, cy = w / 2, h / 2
+    bg_mats = _similarity_path(rng, t, speed * rng.uniform(0.3, 1.0))
+
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    # one vectorized warp over ALL frames (the per-frame python loop was
+    # the generator's hot spot on the 1-CPU host)
+    A_bg = np.stack([m[0] for m in bg_mats])          # (T, 2, 2)
+    TV_bg = np.stack([m[1] for m in bg_mats])         # (T, 2)
+    dx, dy = xs - cx, ys - cy
+    gx = (
+        A_bg[:, 0, 0, None, None] * dx + A_bg[:, 0, 1, None, None] * dy
+        + cx + TV_bg[:, 0, None, None] + margin
+    )
+    gy = (
+        A_bg[:, 1, 0, None, None] * dx + A_bg[:, 1, 1, None, None] * dy
+        + cy + TV_bg[:, 1, None, None] + margin
+    )
+    x0 = np.clip(gx.astype(np.int32), 0, texture.shape[1] - 2)
+    y0 = np.clip(gy.astype(np.int32), 0, texture.shape[0] - 2)
+    fx = (gx - x0)[..., None]
+    fy = (gy - y0)[..., None]
+    frames = (
+        texture[y0, x0] * (1 - fx) * (1 - fy)
+        + texture[y0, x0 + 1] * fx * (1 - fy)
+        + texture[y0 + 1, x0] * (1 - fx) * fy
+        + texture[y0 + 1, x0 + 1] * fx * fy
+    ).astype(np.float32)
+
+    # --- foreground sprites: own texture, elliptical support, own path --
+    k_fg = int(rng.integers(n_fg[0], n_fg[1] + 1))
+    sprites = []  # (mats, center0 (2,), radii (2,), tex, tex_margin)
+    fg_masks = np.zeros((t, h, w), bool)  # union of sprite supports
+    sprite_of_pixel = np.full((t, h, w), -1, np.int8)  # topmost sprite
+    for si in range(k_fg):
+        rx = float(rng.uniform(w / 10, w / 4))
+        ry = float(rng.uniform(h / 10, h / 4))
+        c0 = np.array(
+            [rng.uniform(rx, w - rx), rng.uniform(ry, h - ry)], np.float32
+        )
+        sp_speed = speed * float(rng.uniform(0.5, 1.5))
+        sp_margin = int(sp_speed * t + 8)
+        stex = _smooth_noise(
+            rng, int(2 * ry) + 2 * sp_margin, int(2 * rx) + 2 * sp_margin
+        )
+        # sprite's own similarity path, applied about its (moving) centre
+        mats = _similarity_path(rng, t, sp_speed, rot_scale=2.0)
+        sprites.append((mats, c0, (rx, ry), stex, sp_margin))
+        for ti in range(t):
+            a, tv = mats[ti]
+            # frame pixel p shows sprite texel A @ (p - c0) + t_shift;
+            # the support (texel in the ellipse) is bounded in frame
+            # coords by a disc of radius max(rx,ry)/|s| about the point
+            # where the texel origin lands — warp only that window
+            ainv = np.linalg.inv(a)
+            pc = c0 + ainv @ (-tv)
+            rad = float(max(rx, ry) / max(np.sqrt(abs(
+                np.linalg.det(a)
+            )), 1e-3)) + 2.0
+            bx0, bx1 = max(int(pc[0] - rad), 0), min(
+                int(pc[0] + rad) + 1, w
+            )
+            by0, by1 = max(int(pc[1] - rad), 0), min(
+                int(pc[1] + rad) + 1, h
+            )
+            if bx1 <= bx0 or by1 <= by0:
+                continue
+            wxs = xs[by0:by1, bx0:bx1]
+            wys = ys[by0:by1, bx0:bx1]
+            lx = a[0, 0] * (wxs - c0[0]) + a[0, 1] * (wys - c0[1]) + tv[0]
+            ly = a[1, 0] * (wxs - c0[0]) + a[1, 1] * (wys - c0[1]) + tv[1]
+            # inverse: ellipse defined in sprite-local (undeformed) coords
+            inside = (lx / rx) ** 2 + (ly / ry) ** 2 <= 1.0
+            gx = lx + rx + sp_margin
+            gy = ly + ry + sp_margin
+            x0 = np.clip(gx.astype(np.int32), 0, stex.shape[1] - 2)
+            y0 = np.clip(gy.astype(np.int32), 0, stex.shape[0] - 2)
+            fx = (gx - x0)[..., None]
+            fy = (gy - y0)[..., None]
+            tex_val = (
+                stex[y0, x0] * (1 - fx) * (1 - fy)
+                + stex[y0, x0 + 1] * fx * (1 - fy)
+                + stex[y0 + 1, x0] * (1 - fx) * fy
+                + stex[y0 + 1, x0 + 1] * fx * fy
+            )
+            frames[ti, by0:by1, bx0:bx1][inside] = tex_val[inside]
+            fg_masks[ti, by0:by1, bx0:bx1] |= inside
+            sprite_of_pixel[ti, by0:by1, bx0:bx1][inside] = si
+
+    # --- query points + GT tracks ---------------------------------------
+    # assign each point to a layer: background or one of the sprites
+    # (sprite points sampled inside the ellipse at its query frame)
+    q_frame = (
+        int(rng.integers(0, t)) if random_query_frame and t > 1 else 0
+    )
+    layer = np.full(n_points, -1, np.int32)
+    if k_fg:
+        n_sprite_pts = int(n_points * rng.uniform(0.2, 0.5))
+        layer[:n_sprite_pts] = rng.integers(0, k_fg, n_sprite_pts)
+    gt = np.zeros((t, n_points, 2), np.float32)
+    Ainv_bg = np.linalg.inv(A_bg)                     # (T, 2, 2)
+    centre = np.array([cx, cy], np.float32)
+    bg_idx = np.flatnonzero(layer < 0)
+    if bg_idx.size:
+        # background points: texture coords from their query-frame pos
+        # (rejection-sample spots not covered by a sprite at the query
+        # frame — queries must be observed points)
+        px = rng.uniform(4, w - 4, bg_idx.size)
+        py = rng.uniform(4, h - 4, bg_idx.size)
+        for k in range(bg_idx.size):
+            for _ in range(16):
+                if sprite_of_pixel[q_frame, int(py[k]), int(px[k])] < 0:
+                    break
+                px[k] = rng.uniform(4, w - 4)
+                py[k] = rng.uniform(4, h - 4)
+        pq = np.stack([px, py], -1).astype(np.float32)  # (Nb, 2)
+        a, tv = bg_mats[q_frame]
+        tex_pt = (a @ (pq - centre).T).T + tv           # (Nb, 2)
+        rel = tex_pt[None, :, :] - TV_bg[:, None, :]    # (T, Nb, 2)
+        gt[:, bg_idx] = np.einsum("tij,tnj->tni", Ainv_bg, rel) + centre
+    for si in range(k_fg):
+        sp_idx = np.flatnonzero(layer == si)
+        if not sp_idx.size:
+            continue
+        mats, c0, (rx, ry), _, _ = sprites[si]
+        # sample in sprite-local coords, inside the ellipse
+        ang = rng.uniform(0, 2 * np.pi, sp_idx.size)
+        rad = np.sqrt(rng.uniform(0, 0.85, sp_idx.size))
+        local = np.stack(
+            [rad * np.cos(ang) * rx, rad * np.sin(ang) * ry], -1
+        ).astype(np.float32)                            # (Ns, 2)
+        A_sp = np.stack([m[0] for m in mats])
+        TV_sp = np.stack([m[1] for m in mats])
+        rel = local[None, :, :] - TV_sp[:, None, :]
+        gt[:, sp_idx] = np.einsum(
+            "tij,tnj->tni", np.linalg.inv(A_sp), rel
+        ) + c0
+    qxy = gt[q_frame].copy()
+    queries = np.concatenate(
+        [np.full((n_points, 1), q_frame, np.float32), qxy], axis=1
+    )
+
+    # --- occluder (opaque, untracked, drawn last) -----------------------
+    vis = np.ones((t, n_points), bool)
+    if rng.random() < occluder_prob:
+        frames, occ_vis = _add_occluder(rng, frames, gt)
+        vis &= occ_vis
+
+    # --- exact visibility: in-bounds + not covered by a higher layer ----
+    xi = np.clip(gt[..., 0].astype(np.int32), 0, w - 1)
+    yi = np.clip(gt[..., 1].astype(np.int32), 0, h - 1)
+    inb = (
+        (gt[..., 0] >= 0) & (gt[..., 0] < w)
+        & (gt[..., 1] >= 0) & (gt[..., 1] < h)
+    )
+    ti_idx = np.arange(t)[:, None]
+    covering = sprite_of_pixel[ti_idx, yi, xi].astype(np.int32)  # (T, N)
+    is_bg = layer[None, :] < 0
+    hidden_by_fg = np.where(
+        is_bg, covering >= 0, covering != layer[None, :]
+    ) & (covering >= 0)
+    vis &= inb & ~hidden_by_fg
+    # queries are observed points: a track is visible at its query frame
+    # by construction (sprite points ride their sprite; background spots
+    # are rejection-sampled off sprites); the occluder can still cross
+    # the query frame, so override its label there
+    vis[q_frame] = True
+    return frames, queries, gt, vis
