@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -106,6 +107,98 @@ def tiny_cotracker3_config() -> CoTracker3Config:
         corr_mlp_out=24, hidden_size=64, num_heads=4, time_depth=2,
         space_depth=2, num_virtual_tracks=8, flow_emb_dim=8,
         model_resolution=(64, 96), iters=2,
+    )
+
+
+def cotracker3_small_config() -> CoTracker3Config:
+    """The shipped-weights config: same structure as the official model
+    at reduced dims and resolution, trained in-repo on the layered
+    occlusion curriculum (scripts/train_cotracker.py --curriculum
+    layered). Chosen so the tracker leg of the config-5 pipeline is
+    cheap (model res 160x224 ~ 1/4 the official 384x512 pixels, 4
+    refinement iterations instead of 6) while whole-clip attention still
+    re-acquires occluded points — the capability the reference gets from
+    CoTracker3's backward tracking (ref model/STOM.py:59-65)."""
+    return CoTracker3Config(
+        latent_dim=96, corr_levels=3, corr_radius=3, corr_mlp_hidden=256,
+        corr_mlp_out=192, hidden_size=256, num_heads=8, time_depth=3,
+        space_depth=3, num_virtual_tracks=48, flow_emb_dim=64,
+        model_resolution=(160, 224), iters=4,
+        compute_dtype="bfloat16",
+    )
+
+
+# -- self-describing weight files -------------------------------------------
+# The shipped tracker weights embed their CoTracker3Config as JSON inside
+# the npz, so loaders (STOM's default tracker, bench scripts) need no
+# out-of-band dims knowledge.
+
+_SHIPPED_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "weights",
+    "cotracker3_small.npz",
+)
+
+
+def save_cotracker3(path: str, params, cfg: CoTracker3Config) -> None:
+    """Flat npz keyed by jax keystr paths + a `__config__` JSON entry.
+    Weights are stored float16 (they are consumed in bf16/f32 compute;
+    f16 storage keeps the in-repo artifact half the size at ~1e-3
+    relative rounding, below the bf16 rounding of the compute path)."""
+    import json as _json
+
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    arrays = {}
+    for k, v in leaves:
+        a = np.asarray(v)
+        arrays[jax.tree_util.keystr(k)] = (
+            a.astype(np.float16) if a.dtype == np.float32 else a
+        )
+    arrays["__config__"] = np.frombuffer(
+        _json.dumps(dataclasses.asdict(cfg)).encode(), np.uint8
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def load_cotracker3(path: str):
+    """Load a self-describing weight file -> (params, CoTracker3Config).
+    Raises KeyError if the file has no embedded config (plain
+    cotracker.save_params files need the `like=` loader instead)."""
+    import json as _json
+
+    data = np.load(path)
+    raw = _json.loads(bytes(data["__config__"].tobytes()).decode())
+    raw["model_resolution"] = tuple(raw["model_resolution"])
+    cfg = CoTracker3Config(**raw)
+    model = CoTracker3Offline(cfg)
+    mh, mw = cfg.model_resolution
+    like = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, mh, mw, 3)),
+            jnp.zeros((4, 3)),
+        )
+    )
+    leaves_like = jax.tree_util.tree_leaves_with_path(like)
+    flat = [
+        jnp.asarray(data[jax.tree_util.keystr(k)], v.dtype)
+        for k, v in leaves_like
+    ]
+    params = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(like), flat
+    )
+    return params, cfg
+
+
+def shipped_tracker(path: Optional[str] = None, **predictor_kw):
+    """CoTracker3Predictor over the in-repo trained weights (or an
+    explicit self-describing npz). Returns None when no weight file
+    exists — callers fall back to the LK tracker."""
+    p = path or _SHIPPED_WEIGHTS
+    if not os.path.exists(p):
+        return None
+    params, cfg = load_cotracker3(p)
+    return CoTracker3Predictor(
+        params, CoTracker3Offline(cfg), **predictor_kw
     )
 
 

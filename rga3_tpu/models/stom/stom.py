@@ -69,9 +69,37 @@ def _rgba_bbox(rgba: np.ndarray) -> Optional[Tuple[int, int, int, int]]:
     return int(rows[0]), int(rows[-1]) + 1, int(cols[0]), int(cols[-1]) + 1
 
 
+def default_tracker():
+    """Resolve the default STOM tracker backend.
+
+    `RGA3_STOM_TRACKER` env: `cotracker3` forces the shipped trained
+    CoTracker3 weights (error if absent), `lk` forces pyramidal LK,
+    `auto`/unset prefers the shipped CoTracker3 when its weight file
+    exists (it survives occlusion — the capability the reference gets
+    from CoTracker3 backward tracking, ref model/STOM.py:59-65; LK's
+    chained flow never re-acquires hidden points) and falls back to LK.
+    """
+    import os
+
+    choice = os.environ.get("RGA3_STOM_TRACKER", "auto").lower()
+    if choice == "lk":
+        return LKTracker()
+    from .cotracker3 import shipped_tracker
+
+    tracker = shipped_tracker()
+    if tracker is None:
+        if choice == "cotracker3":
+            raise FileNotFoundError(
+                "RGA3_STOM_TRACKER=cotracker3 but no shipped weights "
+                "(rga3_tpu/models/stom/weights/cotracker3_small.npz)"
+            )
+        return LKTracker()
+    return tracker
+
+
 class STOM:
     def __init__(self, tracker=None):
-        self.tracker = tracker or LKTracker()
+        self.tracker = tracker or default_tracker()
 
     # -- query mask (ref :38-54) ---------------------------------------
     @staticmethod

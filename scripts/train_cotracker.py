@@ -152,24 +152,28 @@ def train_layered(args):
     import numpy as np
     import optax
 
-    from rga3_tpu.models.stom.cotracker import load_params, save_params
+    from rga3_tpu.models.stom.cotracker import load_params
     from rga3_tpu.models.stom.cotracker3 import (
         CoTracker3Offline, cotracker3_offline_config,
-        tiny_cotracker3_config,
+        cotracker3_small_config, save_cotracker3, tiny_cotracker3_config,
     )
     from rga3_tpu.models.stom.synth import (
         benchmark_tracker, make_training_clip,
     )
 
     assert args.arch == "cotracker3", "--curriculum layered needs cotracker3"
-    h = args.size
-    w = args.width or args.size
     import dataclasses
 
-    cfg = (
-        tiny_cotracker3_config() if args.tiny
-        else cotracker3_offline_config()
-    )
+    cfg = {
+        "tiny": tiny_cotracker3_config,
+        "small": cotracker3_small_config,
+        "official": cotracker3_offline_config,
+    }[args.preset]()
+    if args.tiny:
+        cfg = tiny_cotracker3_config()
+    h, w = cfg.model_resolution
+    if args.size:
+        h, w = args.size, args.width or args.size
     cfg = dataclasses.replace(
         cfg,
         model_resolution=(h, w),
@@ -181,30 +185,30 @@ def train_layered(args):
     B, T, N = args.batch, args.frames, args.points
     gen_rng = np.random.default_rng(0)
 
-    def make_batch(rng):
-        fs, qs, gs, vs = [], [], [], []
-        for _ in range(B):
-            f, q, g, v = make_training_clip(
-                rng, t=T, h=h, w=w, n_points=N,
-                max_speed=args.max_speed,
-                occluder_prob=args.occluder_prob,
-            )
-            fs.append(f), qs.append(q), gs.append(g), vs.append(v)
-        return (
-            np.stack(fs), np.stack(qs), np.stack(gs), np.stack(vs)
+    def make_clip(rng):
+        return make_training_clip(
+            rng, t=T, h=h, w=w, n_points=N,
+            max_speed=args.max_speed,
+            occluder_prob=args.occluder_prob,
         )
 
-    # host-side prefetch: clip synthesis (~0.2 s/clip on this 1-CPU
-    # host) overlaps the device step
-    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4)
+    # Host-side clip synthesis (~0.13 s/clip at 160x224) cannot feed the
+    # device step on this 1-CPU host, so fresh clips stream into a
+    # replay POOL and each step samples its batch from the pool: the
+    # device never blocks on generation, and each synthetic clip is
+    # reused ~pool-turnover times (harmless — the generator's clip space
+    # is effectively infinite, reuse just reshuffles batch composition).
+    pool: list = []
+    pool_size = max(args.pool_size, 2 * B)
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=8)
     stop = threading.Event()
 
     def producer():
         while not stop.is_set():
-            batch = make_batch(gen_rng)
+            clip = make_clip(gen_rng)
             while not stop.is_set():
                 try:
-                    q.put(batch, timeout=1.0)
+                    q.put(clip, timeout=1.0)
                     break
                 except queue_mod.Full:
                     continue
@@ -212,7 +216,28 @@ def train_layered(args):
     th = threading.Thread(target=producer, daemon=True)
     th.start()
 
-    frames0, queries0, _, _ = make_batch(np.random.default_rng(1))
+    fresh_count = 0
+
+    def next_batch(rng):
+        nonlocal fresh_count
+        # drain whatever the producer has ready (block only while the
+        # pool is still too small to sample a batch)
+        while True:
+            try:
+                clip = q.get(block=len(pool) < pool_size // 2)
+                fresh_count += 1
+                if len(pool) < pool_size:
+                    pool.append(clip)
+                else:
+                    pool[int(rng.integers(len(pool)))] = clip
+            except queue_mod.Empty:
+                break
+        idx = rng.choice(len(pool), size=B, replace=len(pool) < B)
+        fs, qs, gs, vs = zip(*(pool[i] for i in idx))
+        return np.stack(fs), np.stack(qs), np.stack(gs), np.stack(vs)
+
+    sample_rng = np.random.default_rng(7)
+    frames0, queries0, _, _ = next_batch(sample_rng)
     params = model.init(
         jax.random.PRNGKey(0), jnp.asarray(frames0[0] * 255.0),
         jnp.asarray(queries0[0]),
@@ -244,7 +269,7 @@ def train_layered(args):
 
     t0 = time.time()
     for i in range(args.steps):
-        frames, queries, gt, vis = q.get()
+        frames, queries, gt, vis = next_batch(sample_rng)
         params, opt_state, loss, (vis_px, hid_px) = step(
             params, opt_state, jnp.asarray(frames), jnp.asarray(queries),
             jnp.asarray(gt), jnp.asarray(vis),
@@ -253,13 +278,14 @@ def train_layered(args):
             print(
                 f"step {i}: loss {float(loss):.4f} "
                 f"vis_px {float(vis_px):.2f} hid_px {float(hid_px):.2f} "
+                f"pool {len(pool)} fresh {fresh_count} "
                 f"({time.time()-t0:.0f}s)",
                 flush=True,
             )
         if args.save_every and (
             (i + 1) % args.save_every == 0 or i == args.steps - 1
         ):
-            save_params(args.out, params)
+            save_cotracker3(args.out, params, cfg)
             print(f"saved {args.out} @ step {i}", flush=True)
     stop.set()
 
@@ -273,7 +299,7 @@ def train_layered(args):
     import json
 
     print("bench_stom_synth:", json.dumps(report), flush=True)
-    save_params(args.out, params)
+    save_cotracker3(args.out, params, cfg)
     print(f"saved {args.out}", flush=True)
 
 
@@ -282,7 +308,8 @@ def main():
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--frames", type=int, default=8)
-    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--size", type=int, default=0,
+                   help="clip height override (layered: 0 = the preset's\n                   model_resolution; flat: 0 = 64)")
     p.add_argument("--width", type=int, default=0,
                    help="clip width (0 = square --size clips)")
     p.add_argument("--points", type=int, default=16)
@@ -296,6 +323,17 @@ def main():
         "with true visibility labels (synth.make_training_clip) — the "
         "recipe that teaches occlusion re-acquisition",
     )
+    p.add_argument(
+        "--preset", choices=["tiny", "small", "official"], default="small",
+        help="cotracker3 dims for the layered curriculum: tiny (CPU "
+        "tests), small (the shipped-weights config, res 160x224), "
+        "official (scaled_offline.pth dims, res 384x512)",
+    )
+    p.add_argument("--pool-size", type=int, default=512,
+                   help="clip replay pool (layered curriculum): fresh "
+                   "clips stream in from the producer thread, batches "
+                   "sample from the pool so the 1-CPU host never blocks "
+                   "the device step")
     p.add_argument("--batch", type=int, default=1,
                    help="clips per step (layered curriculum only; "
                    "vmapped apply)")
@@ -317,6 +355,7 @@ def main():
     if args.curriculum == "layered":
         train_layered(args)
         return
+    args.size = args.size or 64
 
     import jax
     import jax.numpy as jnp

@@ -15,6 +15,10 @@ os.environ["XLA_FLAGS"] = (
 ).strip()
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# STOM tests pin LK (cheap, deterministic on CPU); the shipped
+# CoTracker3 default path has its own dedicated test
+# (tests/test_stom.py::test_default_tracker_shipped_weights).
+os.environ.setdefault("RGA3_STOM_TRACKER", "lk")
 
 import jax  # noqa: E402
 

@@ -350,3 +350,58 @@ def test_track_batch_matches_single(tiny):
         if vis_s.size:
             assert (vis_b == vis_s).mean() > 0.95
     assert got[2][0].shape == (t, 0, 2)
+
+
+def test_save_load_self_describing_roundtrip(tiny_shapes, tmp_path):
+    """save_cotracker3 embeds the config; load_cotracker3 reconstructs
+    (params within f16 storage rounding, config exactly)."""
+    from rga3_tpu.models.stom.cotracker3 import (
+        load_cotracker3, save_cotracker3,
+    )
+
+    cfg, _model, params = tiny_shapes
+    path = str(tmp_path / "ct3.npz")
+    save_cotracker3(path, params, cfg)
+    params2, cfg2 = load_cotracker3(path)
+    assert cfg2 == cfg
+    flat1 = jax.tree_util.tree_leaves(params)
+    flat2 = jax.tree_util.tree_leaves(params2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+        )
+
+
+def test_default_tracker_resolution(tiny_shapes, tmp_path, monkeypatch):
+    """STOM's default backend: lk forces LK; auto prefers shipped
+    CoTracker3 weights when the file exists and falls back to LK when it
+    doesn't; cotracker3 without weights is a loud error."""
+    from rga3_tpu.models.stom import cotracker3 as ct3_mod
+    from rga3_tpu.models.stom.cotracker3 import (
+        CoTracker3Predictor, save_cotracker3,
+    )
+    from rga3_tpu.models.stom.stom import default_tracker
+    from rga3_tpu.models.stom.tracker import LKTracker
+
+    cfg, _model, params = tiny_shapes
+
+    monkeypatch.setenv("RGA3_STOM_TRACKER", "lk")
+    assert isinstance(default_tracker(), LKTracker)
+
+    missing = str(tmp_path / "missing.npz")
+    monkeypatch.setattr(ct3_mod, "_SHIPPED_WEIGHTS", missing)
+    monkeypatch.setenv("RGA3_STOM_TRACKER", "auto")
+    assert isinstance(default_tracker(), LKTracker)
+    monkeypatch.setenv("RGA3_STOM_TRACKER", "cotracker3")
+    with pytest.raises(FileNotFoundError):
+        default_tracker()
+
+    shipped = str(tmp_path / "shipped.npz")
+    save_cotracker3(shipped, params, cfg)
+    monkeypatch.setattr(ct3_mod, "_SHIPPED_WEIGHTS", shipped)
+    monkeypatch.setenv("RGA3_STOM_TRACKER", "auto")
+    tracker = default_tracker()
+    assert isinstance(tracker, CoTracker3Predictor)
+    assert tracker.model.cfg == cfg
