@@ -32,7 +32,8 @@ def main():
     p.add_argument("--prefill", type=int, default=256)
     p.add_argument("--decode", type=int, default=64)
     p.add_argument("--int8", action="store_true")
-    p.add_argument("--int4", action="store_true")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 LM — HBM-CAPACITY ONLY on v5e: measured SLOWER than --int8 (7B 39.7 vs 92.6 tok/s; VPU-bound nibble dequant)")
     args = p.parse_args()
 
     import jax

@@ -82,7 +82,8 @@ def main():
     p.add_argument("--subset_idx", type=int, default=0)
     p.add_argument("--subset_num", type=int, default=1)
     p.add_argument("--int8", action="store_true")
-    p.add_argument("--int4", action="store_true")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 LM + int8 vision — HBM-CAPACITY ONLY on v5e: measured SLOWER than --int8 (7B 39.7 vs 92.6 tok/s; VPU-bound nibble dequant)")
     args = p.parse_args()
 
     from rga3_tpu.evaluation.region_qa_eval import (

@@ -353,6 +353,117 @@ def main():
 
     stage(report["configs"], "config6_spec", do_spec)
 
+    # ---------------- config 7: STOM propagation (BASELINE config 5) --
+    # (ref inference_videoinfer.py:199,259-270 --use_stom) — overlay
+    # propagated by a CoTracker3Offline backend, then the propagated
+    # frames go through the QA path: the full region-QA pipeline.
+    def do_stom():
+        import cv2
+
+        from rga3_tpu.models.stom import STOM
+        from rga3_tpu.models.stom.cotracker3 import (
+            CoTracker3Offline, CoTracker3Predictor, shipped_tracker,
+            tiny_cotracker3_config,
+        )
+
+        if state.get("cotracker"):
+            ct, cp = state["cotracker"]
+            tracker = CoTracker3Predictor(cp, ct, max_points=64)
+            backend = "official_ckpt"
+        else:
+            tracker = shipped_tracker(max_points=64)
+            backend = "shipped"
+            if tracker is None or args.tiny:
+                cmodel = CoTracker3Offline(tiny_cotracker3_config())
+                cparams = cmodel.init(
+                    jax.random.PRNGKey(1),
+                    jnp.zeros((2, 64, 96, 3)), jnp.zeros((4, 3)),
+                )
+                tracker = CoTracker3Predictor(
+                    cparams, cmodel, max_points=64
+                )
+                backend = "tiny_random"
+        stom = STOM(tracker=tracker)
+        frames = []
+        for i in range(4):
+            f = rng.integers(0, 80, (96, 128, 3)).astype(np.uint8)
+            f[30 + 4 * i:60 + 4 * i, 40 + 6 * i:80 + 6 * i] = 210
+            frames.append(f)
+        vip = np.zeros((96, 128, 4), np.uint8)
+        cv2.ellipse(vip, (60, 45), (25, 20), 0, 0, 360,
+                    (255, 0, 0, 255), 3)
+        out_frames = stom.propagate_in_video(frames, vip, 0, "ellipse")
+        assert len(out_frames) == len(frames)
+        key_has_overlay = not np.array_equal(
+            np.asarray(out_frames[0]), frames[0]
+        )
+        assert key_has_overlay, "key frame not composited"
+        chat = state.get("chat")
+        ans = chat.answer(
+            "What is the marked region doing?",
+            video_frames=[np.asarray(f) for f in out_frames],
+        )
+        assert isinstance(ans, str)
+        n_prop = sum(
+            int(not np.array_equal(np.asarray(o), f))
+            for o, f in zip(out_frames[1:], frames[1:])
+        )
+        return {"backend": backend, "propagated_frames": n_prop,
+                "sample": ans[:80]}
+
+    stage(report["configs"], "config7_stom", do_stom)
+
+    # ---------------- config 8: pre-quantized checkpoint load ---------
+    # (scripts/quantize_checkpoint.py) — save_quantized -> load_quantized
+    # roundtrip must reproduce the in-memory quantized tree exactly and
+    # still decode.
+    def do_prequant():
+        import tempfile
+
+        from rga3_tpu.models.unigr.model import UniGR
+        from rga3_tpu.ops.quant import (
+            load_quantized, quantize_for_serving, save_quantized,
+        )
+
+        # mode "int8" = int8 LM + int8 vision (quantize_for_serving)
+        qcfg8 = cfg.qwen.replace(
+            text=cfg.qwen.text.replace(quant_int8=True),
+            vision=cfg.qwen.vision.replace(quant_int8=True),
+        )
+        qtree = {
+            col: (
+                {**sub, "qwen": quantize_for_serving(sub["qwen"], "int8")}
+                if isinstance(sub, dict) and "qwen" in sub else sub
+            )
+            for col, sub in params.items()
+        }
+        with tempfile.TemporaryDirectory() as d:
+            save_quantized(qtree, d, {"quant": "int8", "tiny": args.tiny})
+            loaded, meta = load_quantized(d)
+            flat_a = jax.tree_util.tree_leaves_with_path(qtree)
+            flat_b = {
+                jax.tree_util.keystr(k): v
+                for k, v in jax.tree_util.tree_leaves_with_path(loaded)
+            }
+            assert len(flat_a) == len(flat_b), "tree structure drifted"
+            for k, v in flat_a:
+                got = flat_b[jax.tree_util.keystr(k)]
+                assert np.array_equal(np.asarray(v), np.asarray(got)), (
+                    f"roundtrip mismatch at {jax.tree_util.keystr(k)}"
+                )
+            model8 = UniGR(cfg.replace(qwen=qcfg8))
+            chat8 = UniGRChat(
+                model8, loaded, proc, max_new_tokens=8,
+                compute_dtype=jnp.float32 if args.tiny else None,
+            )
+            out = chat8.answer(
+                "What is happening?", video_frames=synth_frames(2)
+            )
+        assert isinstance(out, str)
+        return {"meta": meta, "sample": out[:80]}
+
+    stage(report["configs"], "config8_prequant", do_prequant)
+
     ok = report["load"]["ok"] and all(
         v.get("ok") for v in report["configs"].values()
     )
