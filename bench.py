@@ -342,6 +342,23 @@ def main():
             "videoinfer_qa_stom_cotracker3": qa_stom,
             # single-chip 3B proxy of the reference release train shape
             "train_release_shape": train_rel,
+            # 7B multi-chip projection from the dryrun sharding math
+            # (VERDICT r3 item 4): analytic release-shape FLOPs
+            # (utils/flops.unigr_train_step_flops: 3B 15.59 / 7B 23.81
+            # TFLOP/sample at seq 512, 8 MLLM frames = 2560 vision
+            # patches, 4 SAM frames) and the 3B *measured* MFU carried
+            # over minus ~5% for the FSDP all-gather/reduce-scatter leg
+            # (16.6 GB bf16 params / fsdp=4 ≈ 23 ms/step on ICI vs a
+            # ~550 ms step). Mesh: (data=4, fsdp=4) on v5e-16 — the
+            # 2x2x2 variant of exactly this sharding executes in
+            # dryrun_multichip / MULTICHIP_r03.json.
+            "train_7b_projection": {
+                "flops_per_sample_tflop": 23.81,
+                "assumed_mfu": 0.42,
+                "samples_per_sec_chip": 3.47,
+                "mesh": "v5e-16 (data=4, fsdp=4), micro-bs 2, accum 8",
+                "basis": "3B measured MFU x analytic 7B FLOPs - 5% comms",
+            },
             "baseline_fps": BASELINE_TRACK_FPS,
             "baseline_note": (
                 "ref model/sam2.py:3783-3785 — 768^2 model, 1 "
