@@ -137,12 +137,19 @@ def _measure_qa_pipeline() -> dict:
 
 def _measure_qa_stom() -> dict:
     """BASELINE config 5: the full VideoInfer pipeline with STOM
-    CoTracker3 visual-prompt propagation (ref
-    inference_videoinfer.py:199,259-270 --use_stom)."""
+    visual-prompt propagation (ref inference_videoinfer.py:199,259-270
+    --use_stom) — the SHIPPED tracker (in-repo trained CoTracker3-small
+    weights, what STOM() defaults to); falls back to the official-dims
+    random-weight architecture if the weight file is absent."""
+    stom_args = ["--stom", "shipped"]
+    if not os.path.exists(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "rga3_tpu", "models",
+        "stom", "weights", "cotracker3_small.npz",
+    )):
+        stom_args = ["--stom", "cotracker3", "--stom-bf16"]
     return _run_bench_subprocess(
         "bench_qa.py",
-        ["--size", "7b", "--int8", "--batch", "4",
-         "--stom", "cotracker3", "--stom-bf16"],
+        ["--size", "7b", "--int8", "--batch", "4"] + stom_args,
         "RGA3_BENCH_SKIP_STOM",
     )
 

@@ -35,12 +35,15 @@ def main():
                    help="samples per batched prefill+decode (the\n"
                    "answer_batch eval path; decode is weight-bound\n"
                    "so samples/sec scales with batch)")
-    p.add_argument("--stom", choices=["none", "lk", "cotracker3"],
+    p.add_argument("--stom", choices=["none", "lk", "cotracker3",
+                                      "shipped"],
                    default="none",
                    help="BASELINE config 5: add STOM visual-prompt "
                    "propagation per sample (ref inference_videoinfer.py"
                    ":199,259-270 --use_stom; cotracker3 = the official "
-                   "scaled_offline architecture, jitted, random weights)")
+                   "scaled_offline architecture, jitted, random weights; "
+                   "shipped = the in-repo trained CoTracker3-small "
+                   "weights — what STOM() actually defaults to)")
     p.add_argument("--stom-bf16", dest="stom_bf16", action="store_true",
                    help="CoTracker3 compute_dtype=bfloat16 (params stay "
                    "f32; norms/softmax/coords f32) — the tracker is 80%% "
@@ -210,8 +213,19 @@ def main():
             cparams = kgen(jax.random.PRNGKey(1))
             jax.block_until_ready(cparams)
             stom = STOM(tracker=CoTracker3Predictor(cparams, cmodel))
+        elif args.stom == "shipped":
+            from rga3_tpu.models.stom.cotracker3 import shipped_tracker
+
+            tracker = shipped_tracker()
+            assert tracker is not None, (
+                "--stom shipped needs the in-repo trained weights "
+                "(rga3_tpu/models/stom/weights/cotracker3_small.npz)"
+            )
+            stom = STOM(tracker=tracker)
         else:
-            stom = STOM()
+            from rga3_tpu.models.stom.tracker import LKTracker
+
+            stom = STOM(tracker=LKTracker())
 
         # 8-frame 480x854 clip with a moving bright square; red ellipse
         # overlay (RGBA) around it on the key frame
@@ -250,12 +264,37 @@ def main():
             t0 = time.time()
             stom.propagate_in_video_batch(stom_batch)
             best_stom = min(best_stom, time.time() - t0)
+        # cost split (VERDICT r3 item 3): tracker dispatch alone vs the
+        # full propagate (the remainder = host query-mask build + numpy
+        # window compositing)
+        track_ms = None
+        if hasattr(stom.tracker, "track_batch"):
+            arrs = [
+                [np.ascontiguousarray(f[..., :3]) for f in s["frames"]]
+                for s in stom_batch
+            ]
+            masks = [stom._query_mask(s["vip"]) for s in stom_batch]
+            idxs = [s["key_idx"] for s in stom_batch]
+            stom.tracker.track_batch(arrs, masks, idxs)  # warm
+            best_tr = float("inf")
+            for _ in range(args.samples):
+                t0 = time.time()
+                stom.tracker.track_batch(arrs, masks, idxs)
+                best_tr = min(best_tr, time.time() - t0)
+            track_ms = 1000.0 * best_tr / args.batch
         qa_ms = 1000.0 / best  # per sample, batch amortized
         stom_ms = 1000.0 * best_stom / args.batch
         stom_info = {
             "backend": args.stom,
             "batched": args.batch,
             "ms_per_sample": round(stom_ms, 1),
+            "tracker_ms_per_sample": (
+                round(track_ms, 1) if track_ms is not None else None
+            ),
+            "host_compose_ms_per_sample": (
+                round(stom_ms - track_ms, 1)
+                if track_ms is not None else None
+            ),
             "qa_ms_per_sample": round(qa_ms, 1),
             "share_of_pipeline": round(stom_ms / (stom_ms + qa_ms), 4),
         }

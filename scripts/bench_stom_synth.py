@@ -24,8 +24,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--backend", choices=["lk", "lite", "cotracker3"],
-                   default="lk")
+    p.add_argument("--backend",
+                   choices=["lk", "lite", "cotracker3", "shipped"],
+                   default="shipped",
+                   help="shipped = the in-repo trained CoTracker3-small "
+                   "weights (STOM's default backend); falls back to lk "
+                   "if the weight file is absent")
     p.add_argument("--ckpt", default=None,
                    help="trained params (models/stom/cotracker.save_params "
                    "format); random init without it")
@@ -40,11 +44,19 @@ def main():
 
     from rga3_tpu.models.stom.synth import benchmark_tracker
 
+    if args.backend == "shipped":
+        from rga3_tpu.models.stom.cotracker3 import shipped_tracker
+
+        backend = shipped_tracker(max_points=args.points)
+        if backend is None:
+            print("# no shipped weights; falling back to lk",
+                  file=sys.stderr)
+            args.backend = "lk"
     if args.backend == "lk":
         from rga3_tpu.models.stom.tracker import LKTracker
 
         backend = LKTracker()
-    else:
+    elif args.backend != "shipped":
         import jax
         import jax.numpy as jnp
 

@@ -161,6 +161,8 @@ def test_infer_config_recovers_tiny_dims(tiny_shapes):
     assert got == cfg
 
 
+@pytest.mark.slow
+@pytest.mark.midlane
 def test_infer_config_resolves_alternate_flow_width():
     """If the official build concatenates a DIFFERENT flow embedding
     (no raw-xy coords), the loader derives that from input_transform's
@@ -241,6 +243,8 @@ def test_predictor_tracks_translation(tiny):
     assert np.isfinite(tracks).all()
 
 
+@pytest.mark.slow
+@pytest.mark.midlane
 def test_bf16_compute_dtype_matches_f32(tiny):
     """compute_dtype='bfloat16' (the serving option; params stay f32)
     must track close to the f32 build on the same weights — coordinate

@@ -281,6 +281,8 @@ def _trans_params(rng, CI, CO, F):
     return {k: jnp.asarray(v.astype(np.float32)) for k, v in p.items()}
 
 
+@pytest.mark.slow
+@pytest.mark.midlane
 def test_transition_interpret_matches_reference():
     from rga3_tpu.ops.fused_block import (
         _reference_transition, fused_transition_block,
@@ -335,6 +337,8 @@ def test_fused_transition_matches_flax_block():
     )
 
 
+@pytest.mark.slow
+@pytest.mark.midlane
 def test_fused_transition_is_differentiable():
     rng = np.random.default_rng(5)
     B, side, CI, CO, H, ws = 1, 8, 16, 32, 2, 4

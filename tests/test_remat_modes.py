@@ -11,6 +11,8 @@ from rga3_tpu.models.qwen25vl.language import QwenForCausalLM
 
 
 @pytest.mark.parametrize("scan", [False, True])
+@pytest.mark.slow
+@pytest.mark.midlane
 def test_remat_modes_same_loss_and_grads(scan):
     cfg = tiny_config().text.replace(scan_layers=scan)
     rng = np.random.default_rng(0)

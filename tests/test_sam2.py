@@ -87,6 +87,8 @@ def test_track_video_runs_and_uses_memory(sam2):
     assert diff > 1e-7
 
 
+@pytest.mark.slow
+@pytest.mark.midlane
 def test_track_video_memory_bank_rides_compute_dtype(sam2):
     """The f32 mask logits must not promote the memory bank (the 28.7k-key
     cross-attention K/V at full scale): with bf16 params+frames the bank
