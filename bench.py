@@ -345,8 +345,10 @@ def main():
         "videoinfer_qa_mfu": qa.get("mfu"),
         "extra": {
             "videoinfer_qa": qa,
-            # BASELINE config 5 — QA + STOM CoTracker3 propagation
-            "videoinfer_qa_stom_cotracker3": qa_stom,
+            # BASELINE config 5 — QA + STOM propagation (the shipped
+            # trained CoTracker3-small tracker; stom_info carries the
+            # tracker-vs-host-compose cost split)
+            "videoinfer_qa_stom": qa_stom,
             # single-chip 3B proxy of the reference release train shape
             "train_release_shape": train_rel,
             # 7B multi-chip projection from the dryrun sharding math

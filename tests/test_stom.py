@@ -1,5 +1,6 @@
 """STOM overlay propagation on a synthetic moving-square video."""
 import numpy as np
+import pytest
 from PIL import Image, ImageDraw
 
 from rga3_tpu.models.stom import STOM
@@ -57,3 +58,27 @@ def test_propagate_mask_shape_draws_disc():
     a = np.asarray(out[2]).astype(int)
     blueness = a[:, :, 2] - a[:, :, 0]
     assert (blueness > 40).sum() > 0
+
+
+@pytest.mark.slow
+@pytest.mark.midlane
+def test_shipped_tracker_quality_pinned():
+    """The committed CoTracker3-small weights must keep beating LK where
+    it matters: occlusion (LK chained flow never re-acquires hidden
+    points — 11.5 px mean / 18.3 px hidden on this suite) while staying
+    sub-pixel on smooth motion. Chip-measured reference: smooth 0.144 /
+    large-motion 0.462 / occlusion 0.162 (hidden 0.616); thresholds are
+    ~3x to absorb CPU-vs-TPU bf16 differences."""
+    from rga3_tpu.models.stom.cotracker3 import shipped_tracker
+    from rga3_tpu.models.stom.synth import benchmark_tracker
+
+    tracker = shipped_tracker(max_points=16)
+    assert tracker is not None, "shipped weights missing from the repo"
+    report = benchmark_tracker(
+        lambda f, p, i: tracker.track_points(list(f), p, i)[0],
+        seeds=(0,),
+    )
+    assert report["smooth"]["px_err"] < 0.6, report
+    assert report["large_motion"]["px_err"] < 1.5, report
+    assert report["occlusion"]["px_err"] < 0.8, report
+    assert report["occlusion"]["px_err_occluded"] < 2.0, report
