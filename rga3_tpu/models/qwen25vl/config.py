@@ -43,6 +43,12 @@ class QwenVisionConfig(ConfigBase):
     # int8 weight-only vision blocks (patch embed + merger stay float);
     # convert trees with ops.quant.quantize_qwen_params(include_vision=True)
     quant_int8: bool = False
+    # keep tokens in PADDED window order across the whole block stack:
+    # one pad gather in, one unpad gather out, zero per-block gathers
+    # (the win_pad/win_unpad gathers were the r3 hot spot); every block
+    # computes on Lp >= L tokens (pad slots ride in masked lanes), full
+    # attention runs over the padded stream with pad segment id -1
+    window_resident: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -210,11 +210,16 @@ class VisionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, segment_ids, win_pad=None,
-                 win_unpad=None, use_full=True):
+                 win_unpad=None, use_full=True, resident_kv_seg=None):
         """use_full: True -> full attention over `segment_ids` grids;
         False -> uniform-window attention via win_pad/win_unpad; a traced
         scalar -> lax.cond between the two (the scanned-blocks path —
-        attention has no params, so the branches share everything)."""
+        attention has no params, so the branches share everything).
+
+        resident_kv_seg (n_win, tile) set -> window-RESIDENT mode: x is
+        already in padded window order, window attention is a bare
+        reshape (no gathers), full attention uses `segment_ids` whose
+        pad slots are -1."""
         cfg = self.cfg
         l, d = x.shape
         h, hd = cfg.num_heads, cfg.head_dim
@@ -246,11 +251,21 @@ class VisionBlock(nn.Module):
 
         def window_attn(qkv_):
             q_, k_, v_ = qkv_
+            if resident_kv_seg is not None:
+                nw = l // tile
+                aw = mha_reference(
+                    q_.reshape(nw, tile, h, hd),
+                    k_.reshape(nw, tile, h, hd),
+                    v_.reshape(nw, tile, h, hd),
+                    segment_ids=jnp.zeros_like(resident_kv_seg),
+                    kv_segment_ids=resident_kv_seg,
+                )
+                return aw.reshape(l, h, hd)
             return _uniform_window_attention(
                 q_, k_, v_, win_pad, win_unpad, tile
             )
 
-        if win_pad is None:
+        if win_pad is None and resident_kv_seg is None:
             # legacy path: ragged windows via segment-id flash
             attn = full_attn((q, k, v))
         elif use_full is True:
@@ -303,6 +318,26 @@ class QwenVisionTower(nn.Module):
         )(pixel_patches.astype(compute_dtype))
 
         x = x[token_perm]  # reorder into window order
+
+        resident = cfg.window_resident and win_pad is not None
+        kv_seg = None
+        tile = (cfg.window_size // cfg.patch_size) ** 2
+        if resident:
+            # one pad gather in; blocks then never gather (window attn
+            # is a bare reshape). Pad slots carry zeros; they are masked
+            # as keys everywhere and dropped by the final unpad gather.
+            x = jnp.take(x, win_pad, axis=0, mode="fill", fill_value=0)
+            hpos = jnp.take(hpos, win_pad, axis=0, mode="fill",
+                            fill_value=0)
+            wpos = jnp.take(wpos, win_pad, axis=0, mode="fill",
+                            fill_value=0)
+            grid_seg = jnp.where(
+                win_pad >= 0,
+                jnp.take(grid_seg, win_pad, axis=0, mode="fill",
+                         fill_value=0),
+                -1,
+            )
+            kv_seg = (win_pad < 0).astype(jnp.int32).reshape(-1, tile)
         cos, sin = vision_rope_cos_sin(hpos, wpos, cfg.head_dim)
 
         if cfg.scan_blocks:
@@ -317,6 +352,15 @@ class QwenVisionTower(nn.Module):
                         return (
                             VisionBlock(self.cfg_, name="block")(
                                 carry, cos, sin, seg
+                            ),
+                            None,
+                        )
+                    if resident:
+                        return (
+                            VisionBlock(self.cfg_, name="block")(
+                                carry, cos, sin, grid_seg,
+                                use_full=use_full,  # traced -> lax.cond
+                                resident_kv_seg=kv_seg,
                             ),
                             None,
                         )
@@ -350,12 +394,22 @@ class QwenVisionTower(nn.Module):
                     x = VisionBlock(cfg, name=f"blocks_{i}")(
                         x, cos, sin, seg
                     )
+                elif resident:
+                    x = VisionBlock(cfg, name=f"blocks_{i}")(
+                        x, cos, sin, grid_seg,
+                        use_full=full, resident_kv_seg=kv_seg,
+                    )
                 else:
                     x = VisionBlock(cfg, name=f"blocks_{i}")(
                         x, cos, sin, grid_seg,
                         win_pad=win_pad, win_unpad=win_unpad,
                         use_full=full,
                     )
+
+        if resident:
+            # one unpad gather out: padded window order -> valid window
+            # order (budget-pad token rows -> 0, as in the per-block path)
+            x = jnp.take(x, win_unpad, axis=0, mode="fill", fill_value=0)
 
         # merger: RMSNorm → concat 2x2 merge unit → MLP
         x = VisionRMSNorm(cfg.rms_norm_eps, name="merger_ln_q")(x)

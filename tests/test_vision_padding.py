@@ -192,3 +192,88 @@ def test_uniform_window_train_grads_match_legacy_mixed_batch():
             atol=5e-4 * scale,
             err_msg=jax.tree_util.keystr(k),
         )
+
+
+def test_window_resident_matches_legacy_forward_and_grads():
+    """window_resident=True (tokens stay in padded window order across
+    the whole stack; zero per-block gathers) must match the per-block
+    win_pad path and the legacy ragged path — forward and vision-param
+    gradients — on a ragged mixed image+video batch at a static budget,
+    in both unrolled and scanned-block forms."""
+    from rga3_tpu.models.qwen25vl.vision import QwenVisionTower
+
+    cfg = tiny_config(vocab_size=300).vision.replace(
+        window_size=56, fullatt_block_indexes=(1,)
+    )
+    grids = [(1, 6, 10), (2, 4, 6)]
+    rng = np.random.default_rng(9)
+    patches = rng.normal(size=(108, 3 * 2 * 14 * 14)).astype(np.float32)
+    layout = compute_vision_layout(grids, cfg)
+    assert (layout.win_pad_units < 0).any()
+    padded, la_p = pad_vision_inputs(patches, layout, cfg, 128)
+    la_p = {k: jnp.asarray(v) for k, v in la_p.items()}
+    la_legacy = {
+        k: v for k, v in la_p.items() if k not in ("win_pad", "win_unpad")
+    }
+
+    # only REAL merged rows reach the LLM (scatter_vision_tokens
+    # consumes exactly n_real rows); budget-pad rows are zeros in
+    # resident mode vs benign residual garbage in the other paths
+    n_real = len(patches) // cfg.merge_unit
+    tower = QwenVisionTower(cfg)
+    params = tower.init(jax.random.PRNGKey(0), jnp.asarray(padded), **la_p)
+    base = tower.apply(params, jnp.asarray(padded), **la_legacy)
+    tower_r = QwenVisionTower(cfg.replace(window_resident=True))
+    out_r = jax.jit(
+        lambda p, x: tower_r.apply(p, x, **la_p)
+    )(params, jnp.asarray(padded))
+    np.testing.assert_allclose(
+        np.asarray(out_r)[:n_real], np.asarray(base)[:n_real],
+        rtol=2e-4, atol=2e-4,
+    )
+
+    # gradients — the loss reads only the real rows, as the LLM does
+    n_out = int(base.shape[0])
+    w_out = rng.normal(size=(n_out, cfg.out_hidden_size)).astype(
+        np.float32
+    )
+    w_out[n_real:] = 0.0
+    w_out = jnp.asarray(w_out)
+
+    def grads_of(t, la):
+        return jax.jit(jax.grad(
+            lambda p, x: jnp.sum(t.apply(p, x, **la) * w_out)
+        ))(params, jnp.asarray(padded))
+
+    g_r = grads_of(tower_r, la_p)
+    g_base = grads_of(tower, la_legacy)
+    flat_base = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(g_base)
+    }
+    for k, v in jax.tree_util.tree_leaves_with_path(g_r):
+        ref = flat_base[jax.tree_util.keystr(k)]
+        scale = max(float(jnp.max(jnp.abs(ref))), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(ref), rtol=5e-4, atol=5e-4 * scale,
+            err_msg=jax.tree_util.keystr(k),
+        )
+
+    # scanned-blocks resident form
+    from rga3_tpu.models.qwen25vl.loader import stack_qwen_layers
+
+    tower_rs = QwenVisionTower(
+        cfg.replace(window_resident=True, scan_blocks=True)
+    )
+    stacked = stack_qwen_layers(
+        {"params": {"lm": {"model": {}}, "visual": params["params"]}},
+        stack_vision=True,
+    )
+    out_rs = tower_rs.apply(
+        {"params": stacked["params"]["visual"]}, jnp.asarray(padded),
+        **la_p,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_rs)[:n_real], np.asarray(base)[:n_real],
+        rtol=2e-4, atol=2e-4,
+    )
