@@ -68,6 +68,8 @@ def main():
         )
 
         vcfg = QWEN25_VL_3B.vision
+        if os.environ.get("RGA3_VIT_RESIDENT"):  # A/B window-resident mode
+            vcfg = vcfg.replace(window_resident=True)
         grid = (4, 16, 20)
         grids = [grid] * B
         n_patches = B * grid[0] * grid[1] * grid[2]
