@@ -154,27 +154,32 @@ def _int4_kernel(
     hb, ob = q_ref.shape
     x_dtype = x_lo_ref.dtype
 
-    if gs == 0:  # per-channel
-        s_lo = s_hi = s_ref[0:1, :]
-        rows = hb
-        g = 1
+    # Scales hit the (m, ob) PARTIAL-DOT OUTPUTS, not the (hb, ob)
+    # weight block — the weight-sized elementwise dequant multiply was
+    # the VPU bottleneck (chain A/B at 28x 3584^2, m=16: 2.41 ->
+    # 2.15 ms/chain, scripts/bench_int4_kernel.py v1; also lower
+    # rounding error, 0.0029 vs 0.0047 rel).
+    if gs == 0:  # per-channel: one scale row shared by both halves
+        a_lo = jnp.dot(x_lo_ref[:], lo.astype(x_dtype),
+                       preferred_element_type=jnp.float32)
+        a_hi = jnp.dot(x_hi_ref[:], hi.astype(x_dtype),
+                       preferred_element_type=jnp.float32)
+        acc_ref[:] += (a_lo + a_hi) * s_ref[0:1, :]
     else:
-        s_lo = s_ref[pl.ds(i * gs, gs), :]
-        s_hi = s_ref[pl.ds(n_lo + i * gs, gs), :]
-        rows = hb // gs
-        g = gs
-
-    def scaled(w, s):
-        wf = w.astype(x_dtype).reshape(g, rows, ob)
-        return (wf * s[:, None, :].astype(x_dtype)).reshape(hb, ob)
-
-    acc_ref[:] += jnp.dot(
-        x_lo_ref[:], scaled(lo, s_lo),
-        preferred_element_type=jnp.float32,
-    ) + jnp.dot(
-        x_hi_ref[:], scaled(hi, s_hi),
-        preferred_element_type=jnp.float32,
-    )
+        g = hb // gs
+        acc = acc_ref[:]
+        for gi in range(gs):
+            sl = slice(gi * g, (gi + 1) * g)
+            a_lo = jnp.dot(x_lo_ref[:, sl], lo[sl].astype(x_dtype),
+                           preferred_element_type=jnp.float32)
+            a_hi = jnp.dot(x_hi_ref[:, sl], hi[sl].astype(x_dtype),
+                           preferred_element_type=jnp.float32)
+            acc = (
+                acc
+                + a_lo * s_ref[i * gs + gi, :][None, :]
+                + a_hi * s_ref[n_lo + i * gs + gi, :][None, :]
+            )
+        acc_ref[:] = acc
 
     @pl.when(i == pl.num_programs(2) - 1)
     def _():

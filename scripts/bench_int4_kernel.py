@@ -318,6 +318,28 @@ def main():
             results["chain_v0_unrolled_ms"] = device_timeit(
                 chain_v0_unroll, (pv0s, sgs), x, iters=20, perturb=pert)
 
+            # v1/v2 chains (scan form) — the restructure candidates at
+            # the realistic stacked-decode shape
+            def chain_variant(name, packed_all):
+                def run(ws, a):
+                    def body(carry, wsc):
+                        y = run_variant(name, carry, wsc[0], wsc[1],
+                                        hb=args.hb, ob=args.ob)
+                        return y.astype(carry.dtype), None
+
+                    y, _ = jax.lax.scan(body, a, ws)
+                    return y
+
+                return device_timeit(
+                    run, (packed_all, sgs), x, iters=20, perturb=pert
+                )
+
+            results["chain_v1_ms"] = chain_variant("v1", pv0s)
+            pv2s = jnp.asarray(
+                np.broadcast_to(packed_v2, (n,) + packed_v2.shape).copy()
+            )
+            results["chain_v2_ms"] = chain_variant("v2", pv2s)
+
     print(json.dumps(results))
 
 

@@ -29,7 +29,7 @@ def main():
     p.add_argument("--text-tokens", type=int, default=64)
     p.add_argument("--int8", action="store_true")
     p.add_argument("--int4", action="store_true",
-                   help="int4 weight-only LM + int8 vision tower — HBM-CAPACITY ONLY on v5e: measured SLOWER than --int8 (7B 39.7 vs 92.6 tok/s; VPU-bound nibble dequant)")
+                   help="int4 weight-only LM + int8 vision tower — HBM-CAPACITY ONLY on v5e: measured SLOWER than --int8 (7B 49.9 vs 92.6 tok/s with the partial-dot-scaled kernel; ~= bf16 speed at 3.6x less HBM)")
     p.add_argument("--samples", type=int, default=5)
     p.add_argument("--batch", type=int, default=1,
                    help="samples per batched prefill+decode (the\n"

@@ -83,7 +83,7 @@ def main():
     p.add_argument("--subset_num", type=int, default=1)
     p.add_argument("--int8", action="store_true")
     p.add_argument("--int4", action="store_true",
-                   help="int4 LM + int8 vision — HBM-CAPACITY ONLY on v5e: measured SLOWER than --int8 (7B 39.7 vs 92.6 tok/s; VPU-bound nibble dequant)")
+                   help="int4 LM + int8 vision — HBM-CAPACITY ONLY on v5e: measured SLOWER than --int8 (7B 49.9 vs 92.6 tok/s with the partial-dot-scaled kernel; ~= bf16 speed at 3.6x less HBM)")
     args = p.parse_args()
 
     from rga3_tpu.evaluation.region_qa_eval import (

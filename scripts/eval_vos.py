@@ -154,7 +154,7 @@ def main():
     p.add_argument("--int4", action="store_true",
                    help="int4 weight-only LLM + int8 vision tower "
                    "(ref load_in_4bit, inference_mevis.py:70-93) — "
-                   "HBM-CAPACITY ONLY on v5e: measured SLOWER than --int8 (7B 39.7 vs 92.6 tok/s; VPU-bound nibble dequant)")
+                   "HBM-CAPACITY ONLY on v5e: measured SLOWER than --int8 (7B 49.9 vs 92.6 tok/s with the partial-dot-scaled kernel; ~= bf16 speed at 3.6x less HBM)")
     args = p.parse_args()
 
     from rga3_tpu.evaluation.video_seg_eval import (

@@ -22,7 +22,7 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only LLM + vision tower (ops.quant)")
     p.add_argument("--int4", action="store_true",
-                   help="int4 weight-only LLM + int8 vision tower — HBM-CAPACITY ONLY on v5e: measured SLOWER than --int8 (7B 39.7 vs 92.6 tok/s; VPU-bound nibble dequant)")
+                   help="int4 weight-only LLM + int8 vision tower — HBM-CAPACITY ONLY on v5e: measured SLOWER than --int8 (7B 49.9 vs 92.6 tok/s with the partial-dot-scaled kernel; ~= bf16 speed at 3.6x less HBM)")
     p.add_argument("--draft_dir",
                    help="HF dir of a smaller Qwen2.5-VL used as a "
                    "speculative-decoding draft (token-exact greedy)")
