@@ -627,7 +627,7 @@ class CoTracker3Predictor:
 
     def __init__(self, params, model: Optional[CoTracker3Offline] = None,
                  max_points: int = 256, vis_threshold: float = 0.6,
-                 pre_resize: bool = True):
+                 pre_resize: bool = True, max_batch_clips: int = 8):
         self.model = model or CoTracker3Offline(cotracker3_offline_config())
         self.params = params
         self.max_points = max_points
@@ -643,6 +643,10 @@ class CoTracker3Predictor:
         # (±0.002 of the [-1,1] input) sits below the bf16 rounding the
         # model applies to the normalized video anyway.
         self.pre_resize = pre_resize
+        # track_batch dispatch ceiling: correlation volumes grow linearly
+        # with the clip batch; 8 clips x (8, 160, 224) stays well under
+        # 1 GB next to a resident 7B serving tree
+        self.max_batch_clips = max(int(max_batch_clips), 1)
         self._apply = jax.jit(
             lambda p, f, q: self.model.apply(p, f, q)
         )
@@ -785,15 +789,29 @@ class CoTracker3Predictor:
                     out["tracks"], out["vis"], out["conf"], n, back
                 )
             return results
-        videos = jnp.asarray(np.stack([p[0] for p in preps]))
-        qs = jnp.asarray(np.stack([p[1] for p in preps]))
-        out = self._apply_batch(self.params, videos, qs)
-        tracks_np = np.asarray(out["tracks"])  # (B, iters, T, P, 2)
-        vis_np = np.asarray(out["vis"])
-        conf_np = np.asarray(out["conf"])
-        for j, i in enumerate(live):
-            _, _, n, back = preps[j]
-            results[i] = self._finish(
-                tracks_np[j], vis_np[j], conf_np[j], n, back
+        # dispatch in chunks of max_batch_clips: the correlation volumes
+        # scale linearly with the clip batch ((B, T, P, 49, 49) f32 per
+        # level), and an unbounded batch next to a resident 7B serving
+        # tree OOMs the 16 GB chip at B=16
+        for c0 in range(0, len(live), self.max_batch_clips):
+            chunk = slice(c0, c0 + self.max_batch_clips)
+            c_live = live[chunk]
+            c_preps = preps[chunk]
+            videos = jnp.asarray(np.stack([p[0] for p in c_preps]))
+            qs = jnp.asarray(np.stack([p[1] for p in c_preps]))
+            out = (
+                self._apply_batch(self.params, videos, qs)
+                if len(c_preps) > 1
+                else {k: v[None] for k, v in self._apply(
+                    self.params, videos[0], qs[0]
+                ).items()}
             )
+            tracks_np = np.asarray(out["tracks"])  # (B, iters, T, P, 2)
+            vis_np = np.asarray(out["vis"])
+            conf_np = np.asarray(out["conf"])
+            for j, i in enumerate(c_live):
+                _, _, n, back = c_preps[j]
+                results[i] = self._finish(
+                    tracks_np[j], vis_np[j], conf_np[j], n, back
+                )
         return results

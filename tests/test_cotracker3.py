@@ -344,7 +344,11 @@ def test_track_batch_matches_single(tiny):
             m[10:18, 8:18] = 1
         masks.append(m)
     idxs = [0, 1, 0]
-    pred = CoTracker3Predictor(params, model, max_points=8)
+    # max_batch_clips=2 forces the chunked dispatch (2 + 1, incl. the
+    # single-clip remainder path)
+    pred = CoTracker3Predictor(
+        params, model, max_points=8, max_batch_clips=2
+    )
     got = pred.track_batch(clips, masks, idxs, grid_size=6)
     for i in range(3):
         tr_s, vis_s = pred.track(clips[i], masks[i], idxs[i], grid_size=6)
