@@ -147,10 +147,13 @@ def _measure_qa_stom() -> dict:
         "stom", "weights", "cotracker3_small.npz",
     )):
         stom_args = ["--stom", "cotracker3", "--stom-bf16"]
+    # batch 16 = the serving configuration, same as the QA leg (the
+    # tracker dispatches in chunks of 8 clips to bound memory next to
+    # the 7B tree; measured 4.18 samples/s/chip vs 2.87 at batch 4)
     return _run_bench_subprocess(
         "bench_qa.py",
-        ["--size", "7b", "--int8", "--batch", "4"] + stom_args,
-        "RGA3_BENCH_SKIP_STOM",
+        ["--size", "7b", "--int8", "--batch", "16"] + stom_args,
+        "RGA3_BENCH_SKIP_STOM", timeout=3600,
     )
 
 
