@@ -62,6 +62,12 @@ class HieraConfig(ConfigBase):
     # — tracking 38.97 vs 35.35 fps, batched decode 53.43 vs 47.51 fps
     # (v5e, interleaved runs). RGA3_FUSED_TRANSITION=0 disables for A/B.
     use_fused_transition: bool = True
+    # patch embed as a 2x2 conv over a stride-4 space-to-depth image
+    # instead of the raw 7x7-stride-4 conv: a 3-channel contraction maps
+    # terribly onto the MXU (padded to lanes), while the rearranged
+    # 2x2x48 form is a 192-wide contraction. Numerically the same conv
+    # (kernel rearranged, one zero tap row/col); A/B'd on v5e (r4).
+    s2d_patch_embed: bool = True
 
     @property
     def depth(self) -> int:

@@ -52,6 +52,42 @@ def _max_pool_2x2(x: jnp.ndarray, stride: Tuple[int, int]) -> jnp.ndarray:
     )
 
 
+def patch_embed_s2d(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
+) -> jnp.ndarray:
+    """7x7-stride-4-pad-3 patch embed (ref model/sam2.py PatchEmbed
+    :943-976) computed as a 2x2 conv over a stride-4 space-to-depth
+    image.
+
+    The raw conv contracts over only 3 input channels — the MXU pads
+    that to a full lane tile, so XLA runs it at ~1% utilization (4.3 ms
+    of a 39.75 ms 2-frame trunk forward, bench_trunk_stages r4). In
+    block coordinates of the stride, tap t in [0,7) of an output window
+    starting at 4i-3 lands in s2d blocks i and i+1 only, so the conv is
+    exactly a 2x2 stride-1 conv over (H/4, W/4, 48) with the 7x7x3
+    kernel scattered into (2,2,48,C) (tap row/col 7 zero). Same math,
+    192-wide contraction.
+    """
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    s = 4
+    # pad 3 left; right pad rounds the padded width up to a multiple of
+    # 4 with one extra block for the 2-tap conv: 3 + H + 1 = H + 4
+    xp = jnp.pad(x, ((0, 0), (3, 1), (3, 1), (0, 0)))
+    hb, wb = h // s + 1, w // s + 1
+    xp = xp.reshape(b, hb, s, wb, s, cin)
+    xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, hb, wb, s * s * cin)
+    # kernel (7,7,cin,cout) -> (2,2,s*s*cin,cout), tap index 7 zero
+    k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    k8 = k8.reshape(2, s, 2, s, cin, cout)
+    k2 = k8.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, s * s * cin, cout)
+    y = jax.lax.conv_general_dilated(
+        xp, k2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + bias
+
+
 class MultiScaleBlock(nn.Module):
     cfg: HieraConfig
     dim: int
@@ -318,16 +354,35 @@ class Hiera(nn.Module):
     cfg: HieraConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+    def __call__(
+        self, x: jnp.ndarray, num_blocks: Optional[int] = None
+    ) -> List[jnp.ndarray]:
         cfg = self.cfg
         # patch embed: conv 7x7 stride 4 pad 3 (ref PatchEmbed :943-976)
-        x = nn.Conv(
+        conv = nn.Conv(
             cfg.embed_dim,
             kernel_size=(cfg.patch_kernel, cfg.patch_kernel),
             strides=(cfg.patch_stride, cfg.patch_stride),
             padding=[(cfg.patch_padding, cfg.patch_padding)] * 2,
             name="patch_embed_proj",
-        )(x)
+        )
+        if (
+            cfg.s2d_patch_embed
+            and (cfg.patch_kernel, cfg.patch_stride, cfg.patch_padding)
+            == (7, 4, 3)
+            and x.shape[1] % 4 == 0
+            and x.shape[2] % 4 == 0
+        ):
+            # declare the conv's params (dummy call, DCE'd) so the
+            # checkpoint tree is identical, then run the MXU-friendly
+            # space-to-depth form
+            conv(jnp.zeros((1, 8, 8, x.shape[-1]), x.dtype))
+            cw = self.scope.get_variable("params", "patch_embed_proj")
+            x = patch_embed_s2d(
+                x, cw["kernel"].astype(x.dtype), cw["bias"].astype(x.dtype)
+            )
+        else:
+            x = conv(x)
 
         # windowed positional embedding (ref _get_pos_embed :1199-1208)
         h, w = x.shape[1:3]
@@ -360,6 +415,10 @@ class Hiera(nn.Module):
         heads = cfg.num_heads
         cur_stage = 1
         for i in range(cfg.depth):
+            if num_blocks is not None and i >= num_blocks:
+                # profiling prefix (scripts/bench_trunk_stages.py): stop
+                # after `num_blocks` blocks and return what exists so far
+                return outputs + [x]
             dim_out = dim
             # window size lags one block behind the stage transition
             window_size = cfg.window_spec[cur_stage - 1]

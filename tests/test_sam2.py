@@ -216,3 +216,59 @@ def test_hardcoded_release_flags_validated():
         dataclasses.replace(cfg, pred_obj_scores=False)
     # wired flags still accept both values
     assert dataclasses.replace(cfg, iou_prediction_use_sigmoid=False)
+
+
+def test_patch_embed_s2d_matches_conv():
+    """The space-to-depth patch embed is the SAME conv with a
+    rearranged kernel — fp32 outputs and input-gradients must match the
+    raw 7x7-stride-4 lax conv to float tolerance."""
+    from rga3_tpu.models.sam2.hiera import patch_embed_s2d
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 64, 48, 3)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(7, 7, 3, 16)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+
+    def ref(x_, k_, b_):
+        return jax.lax.conv_general_dilated(
+            x_, k_, (4, 4), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_
+
+    got = patch_embed_s2d(x, k, b)
+    want = ref(x, k, b)
+    assert got.shape == want.shape == (2, 16, 12, 16)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    # gradients through both the input and the kernel (the conv trains
+    # in the SAM1-free UniGR regimes where the trunk is unfrozen)
+    g1 = jax.grad(lambda a, kk: jnp.sum(patch_embed_s2d(a, kk, b) ** 2),
+                  argnums=(0, 1))(x, k)
+    g2 = jax.grad(lambda a, kk: jnp.sum(ref(a, kk, b) ** 2),
+                  argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(g1[0], g2[0], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(g1[1], g2[1], rtol=1e-4, atol=1e-3)
+
+
+def test_hiera_s2d_patch_embed_flag_equivalence():
+    """Trunk outputs match between the s2d and raw-conv patch embeds on
+    the same params (tiny config, fp32 CPU)."""
+    import dataclasses
+
+    from rga3_tpu.models.sam2.hiera import Hiera
+
+    cfg = tiny_sam2_config(image_size=32).hiera
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(1, 32, 32, 3))
+        .astype(np.float32)
+    )
+    m1 = Hiera(dataclasses.replace(cfg, s2d_patch_embed=True))
+    m0 = Hiera(dataclasses.replace(cfg, s2d_patch_embed=False))
+    params = m1.init(jax.random.PRNGKey(0), x)
+    # identical param trees either way (dummy-call declaration)
+    p0 = m0.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(params) == jax.tree.structure(p0)
+    o1 = m1.apply(params, x)
+    o0 = m0.apply(params, x)
+    for a, b in zip(o1, o0):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
