@@ -705,8 +705,10 @@ class CoTracker3Predictor:
         """(iters, T, P, 2) device outputs -> (tracks (T, n, 2) in
         input-pixel coords, visible (T, n) bool)."""
         tracks = np.asarray(out_tracks[-1])[:, :n] * back[None, None, :]
-        vis_p = 1.0 / (1.0 + np.exp(-np.asarray(out_vis)))
-        conf_p = 1.0 / (1.0 + np.exp(-np.asarray(out_conf)))
+        # overflow-safe sigmoid (raw logits can be large early in
+        # training; tanh form never overflows)
+        vis_p = 0.5 * (1.0 + np.tanh(0.5 * np.asarray(out_vis)))
+        conf_p = 0.5 * (1.0 + np.tanh(0.5 * np.asarray(out_conf)))
         visible = (vis_p * conf_p)[:, :n] > self.vis_threshold
         return tracks.astype(np.float32), visible
 

@@ -74,21 +74,31 @@ def default_tracker():
 
     `RGA3_STOM_TRACKER` env: `cotracker3` forces the shipped trained
     CoTracker3 weights (error if absent), `lk` forces pyramidal LK,
-    `auto`/unset prefers the shipped CoTracker3 when its weight file
-    exists (it survives occlusion — the capability the reference gets
-    from CoTracker3 backward tracking, ref model/STOM.py:59-65; LK's
+    a path ending in `.npz` loads that self-describing CoTracker3
+    weight file (e.g. the official-dims synthetic-curriculum weights,
+    scripts/train_cotracker.py --preset official), and `auto`/unset
+    prefers the shipped CoTracker3 when its weight file exists (it
+    survives occlusion — the capability the reference gets from
+    CoTracker3 backward tracking, ref model/STOM.py:59-65; LK's
     chained flow never re-acquires hidden points) and falls back to LK.
     """
     import os
 
-    choice = os.environ.get("RGA3_STOM_TRACKER", "auto").lower()
-    if choice == "lk":
+    choice = os.environ.get("RGA3_STOM_TRACKER", "auto")
+    if choice.lower() == "lk":
         return LKTracker()
     from .cotracker3 import shipped_tracker
 
+    if choice.endswith(".npz"):
+        tracker = shipped_tracker(path=choice)
+        if tracker is None:
+            raise FileNotFoundError(
+                f"RGA3_STOM_TRACKER={choice}: no such weight file"
+            )
+        return tracker
     tracker = shipped_tracker()
     if tracker is None:
-        if choice == "cotracker3":
+        if choice.lower() == "cotracker3":
             raise FileNotFoundError(
                 "RGA3_STOM_TRACKER=cotracker3 but no shipped weights "
                 "(rga3_tpu/models/stom/weights/cotracker3_small.npz)"

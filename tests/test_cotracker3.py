@@ -413,3 +413,25 @@ def test_default_tracker_resolution(tiny_shapes, tmp_path, monkeypatch):
     tracker = default_tracker()
     assert isinstance(tracker, CoTracker3Predictor)
     assert tracker.model.cfg == cfg
+
+
+def test_default_tracker_path_override(tiny_shapes, tmp_path, monkeypatch):
+    """RGA3_STOM_TRACKER may be a path to any self-describing weights
+    npz (e.g. the official-dims training output) — loaded directly,
+    loud error when the file is missing."""
+    from rga3_tpu.models.stom.cotracker3 import (
+        CoTracker3Predictor, save_cotracker3,
+    )
+    from rga3_tpu.models.stom.stom import default_tracker
+
+    cfg, _model, params = tiny_shapes
+    p = str(tmp_path / "official.npz")
+    save_cotracker3(p, params, cfg)
+    monkeypatch.setenv("RGA3_STOM_TRACKER", p)
+    tracker = default_tracker()
+    assert isinstance(tracker, CoTracker3Predictor)
+    assert tracker.model.cfg == cfg
+
+    monkeypatch.setenv("RGA3_STOM_TRACKER", str(tmp_path / "nope.npz"))
+    with pytest.raises(FileNotFoundError):
+        default_tracker()
