@@ -37,7 +37,6 @@ import json
 import os
 import time
 
-import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -195,152 +194,28 @@ def _append_history(record: dict) -> None:
 
 def main():
     _probe_device()
-    # subprocess legs first: the chip is free of this process's trees
+    from rga3_tpu.utils.profiling import peak_flops_per_chip
+
+    # EVERY leg is a subprocess (bench_sam2_legs.py carries what used to
+    # run in-process here): a relay death inside any single leg returns
+    # an {"error": ...} for that leg instead of killing the whole run,
+    # so partial evidence still prints and lands in BENCH_HISTORY.
     qa = _measure_qa_pipeline()
     qa_stom = _measure_qa_stom()
     train_rel = _measure_train_release_shape()
-    import jax
-    import jax.numpy as jnp
-
-    from rga3_tpu.models.sam2 import SAM2_HIERA_L
-    from rga3_tpu.models.sam2.model import Sam2Model
-    from rga3_tpu.models.sam2.video import track_video
-    from rga3_tpu.utils.profiling import mfu, peak_flops_per_chip
-
-    cfg = SAM2_HIERA_L
-    bq = os.environ.get("RGA3_FUSED_BLOCK_Q_SMALL")
-    if bq:  # kernel-tuning experiments only; default is the tuned value
-        cfg = cfg.replace(
-            hiera=cfg.hiera.replace(fused_block_q_small=int(bq))
-        )
-    if os.environ.get("RGA3_NO_SPLIT"):  # A/B the stage-4 split fusion
-        cfg = cfg.replace(
-            hiera=cfg.hiera.replace(use_split_fused_block=False)
-        )
-    bql = os.environ.get("RGA3_FUSED_BLOCK_Q_LARGE")
-    if bql:
-        cfg = cfg.replace(
-            hiera=cfg.hiera.replace(fused_block_q_large=int(bql))
-        )
-    ft = os.environ.get("RGA3_FUSED_TRANSITION")  # A/B the q-pool kernel
-    if ft:
-        cfg = cfg.replace(
-            hiera=cfg.hiera.replace(use_fused_transition=ft != "0")
-        )
-    model = Sam2Model(cfg)
-    rng = np.random.default_rng(0)
-
-    T = int(os.environ.get("RGA3_BENCH_TRACK_FRAMES", "32"))
-    B = int(os.environ.get("RGA3_BENCH_FRAMES", "8"))  # decode batch
-    S = cfg.image_size
-    track_frames = jnp.asarray(
-        rng.normal(size=(T, S, S, 3)).astype(np.float32), jnp.bfloat16
-    )
-    lang1 = jnp.asarray(
-        rng.normal(size=(1, 1, cfg.d_model)).astype(np.float32),
-        jnp.bfloat16,
+    sam2 = _run_bench_subprocess(
+        "bench_sam2_legs.py", [], "RGA3_BENCH_SKIP_SAM2", timeout=2400
     )
 
-    # shapes via eval_shape (no compile); ONE jitted init graph — per-leaf
-    # jnp calls would trigger hundreds of separate (slow) remote compiles.
-    # The default __call__ init covers every submodule (incl. memory), so
-    # both workloads share this tree.
-    shapes = jax.eval_shape(
-        lambda k: model.init(k, track_frames[:1], lang1),
-        jax.random.PRNGKey(0),
-    )
-
-    @jax.jit
-    def make_params(k):
-        return jax.tree.map(
-            lambda s: (jax.random.normal(k, s.shape) * 0.02).astype(
-                jnp.bfloat16
-            ),
-            shapes,
-        )
-
-    params = make_params(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-
-    # params passed as ARGUMENTS: closing over them would bake ~0.4GB of
-    # constants into the HLO and stall the remote compiler
-
-    # ---- workload 1: memory-propagated tracking (the 27-fps baseline) --
-    @jax.jit
-    def run_track(params, fr, le):
-        out = track_video(model, params, fr, language_embd=le)
-        return jnp.sum(out["high_res_masks"].astype(jnp.float32))
-
-    track_c = run_track.lower(params, track_frames, lang1).compile()
-    np.asarray(track_c(params, track_frames, lang1))  # warm (host fetch —
-    # block_until_ready alone can return optimistically through the relay)
-
-    def sample_track(iters: int = 4) -> float:
-        # several async dispatches, ONE host fetch: the relay's ~32 ms
-        # scalar round-trip otherwise counts against the first sample
-        # (measured rt_probe: scalar fetch min 31 ms on this tunnel)
-        t0 = time.perf_counter()
-        acc = None
-        for i in range(iters):
-            s = track_c(params, track_frames + i, lang1)
-            acc = s if acc is None else acc + s
-        float(np.asarray(acc))
-        return (iters * T) / (time.perf_counter() - t0)
-
-    # The chip is time-shared (~2x run-to-run noise from other tenants);
-    # best-of-N is standard under external interference.
-    fps_track = max(sample_track() for _ in range(5))
-    # Analytic model FLOPs: XLA's cost_analysis() reports ZERO for every
-    # Pallas tpu_custom_call, so with the fused/flash kernels active it
-    # sees only a fraction of the real work (utils/flops.py, cross-checked
-    # vs the kernel-free CPU build in tests/test_flops.py).
-    from rga3_tpu.utils.flops import (
-        sam2_decode_frame_flops, sam2_track_step_flops,
-    )
-
-    flops_track = T * sam2_track_step_flops(cfg)
-    mfu_track = mfu(flops_track, T / fps_track)
-
-    # ---- workload 2: batched no-memory language decode (eval hot path) -
-    dec_frames = jnp.asarray(
-        rng.normal(size=(B, S, S, 3)).astype(np.float32), jnp.bfloat16
-    )
-    langB = jnp.asarray(
-        rng.normal(size=(B, 1, cfg.d_model)).astype(np.float32),
-        jnp.bfloat16,
-    )
-
-    @jax.jit
-    def run_decode(params, fr, le):
-        out = model.apply(
-            params, fr, le, method=Sam2Model.decode_frames_with_language
-        )
-        return out["low_res_masks"]
-
-    dec_c = run_decode.lower(params, dec_frames, langB).compile()
-    np.asarray(dec_c(params, dec_frames, langB))
-
-    def sample_decode(iters: int) -> float:
-        t0 = time.perf_counter()
-        acc = None
-        for i in range(iters):
-            s = jnp.sum(dec_c(params, dec_frames + i, langB).astype(
-                jnp.float32
-            ))
-            acc = s if acc is None else acc + s
-        float(np.asarray(acc))  # forces completion of every iteration
-        return (iters * B) / (time.perf_counter() - t0)
-
-    fps_decode = max(sample_decode(12) for _ in range(5))
-    flops_decode = B * sam2_decode_frame_flops(cfg)
-    mfu_decode = mfu(flops_decode, B / fps_decode)
-
+    fps_track = sam2.get("track_fps")
     qa_fps = qa.get("value")
     record = {
         "metric": "sam2_hiera_l_1024_memory_tracking_throughput",
-        "value": round(fps_track, 2),
+        "value": fps_track,
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps_track / BASELINE_TRACK_FPS, 3),
+        "vs_baseline": (
+            round(fps_track / BASELINE_TRACK_FPS, 3) if fps_track else None
+        ),
         # north star (BASELINE.md): VideoInfer per-chip QA
         # throughput — no reference-recorded H800 number exists,
         # so reported absolute (samples/sec/chip, 7B int8 batch 16)
@@ -377,9 +252,10 @@ def main():
                 "object, GPU state; this run is the full Hiera-L "
                 "at 1024^2 (1.78x pixels/frame)"
             ),
-            "mfu": round(mfu_track, 4),
-            "decode_fps": round(fps_decode, 2),
-            "decode_mfu": round(mfu_decode, 4),
+            "mfu": sam2.get("mfu"),
+            "sam2_error": sam2.get("error"),
+            "decode_fps": sam2.get("decode_fps"),
+            "decode_mfu": sam2.get("decode_mfu"),
             "decode_note": (
                 "batched no-memory language decode — the real "
                 "UniGR eval hot path (ref sam2.py:4095-4100); no "
