@@ -31,7 +31,10 @@ def run_inference(
 
     batch_size > 1 runs the decode through `chat.answer_batch` — decode
     is weight-bound at batch 1, so eval throughput scales near-linearly
-    with the batch (the reference instead shards one sample per GPU)."""
+    with the batch (the reference instead shards one sample per GPU) —
+    and overlaps STOM propagation of batch k+1 with the decode of
+    batch k (the tracker leg is relay-transfer-bound; the decode leaves
+    the host->device link idle)."""
     from PIL import Image
 
     done_ids = set()
@@ -73,67 +76,79 @@ def run_inference(
         question = REFERRING_VQA_PROMPT.format(text=item["question"])
         return question, frames
 
+    def stom_props(batch: List) -> Dict[int, List[np.ndarray]]:
+        """One tracker dispatch for the whole batch's overlays
+        (CoTracker3Predictor.track_batch; the per-call relay latency
+        dominates the tracker leg). Returns {row_idx: propagated}."""
+        todo = [
+            (j, it) for j, it in enumerate(batch)
+            if stom is not None
+            and it.get("vip_overlay") is not None
+        ]
+        if not todo:
+            return {}
+        outs = stom.propagate_in_video_batch([
+            {
+                "frames": list(it["frames"]),
+                "vip": it["vip_overlay"],
+                "key_idx": it.get("key_idx", 0),
+                "shape": it.get("shape", "rectangle"),
+            }
+            for _, it in todo
+        ])
+        return {j: o for (j, _), o in zip(todo, outs)}
+
     batched = batch_size > 1 and hasattr(chat, "answer_batch")
+    todo_items = [
+        item for i, item in enumerate(items)
+        if i % subset_num == subset_idx and item["id"] not in done_ids
+    ]
     with open(out_path, "a") as out:
-        pending: List = []
-
-        def flush():
-            nonlocal n
-            if not pending:
-                return
-            # one tracker dispatch for the whole batch's overlays
-            # (CoTracker3Predictor.track_batch; the per-call relay
-            # latency dominates the tracker leg)
-            todo = [
-                (j, it) for j, it in enumerate(pending)
-                if stom is not None
-                and it.get("vip_overlay") is not None
-            ]
-            props = {}
-            if todo:
-                outs = stom.propagate_in_video_batch([
-                    {
-                        "frames": list(it["frames"]),
-                        "vip": it["vip_overlay"],
-                        "key_idx": it.get("key_idx", 0),
-                        "shape": it.get("shape", "rectangle"),
-                    }
-                    for _, it in todo
-                ])
-                props = {j: o for (j, _), o in zip(todo, outs)}
-            rows = [
-                prepare(it, pre_propagated=props.get(j))
-                for j, it in enumerate(pending)
-            ]
-            preds = chat.answer_batch(
-                [q for q, _ in rows],
-                video_frames_list=[f for _, f in rows],
-            )
-            for it, pred in zip(pending, preds):
-                out.write(
-                    json.dumps({"id": it["id"], "pred": pred}) + "\n"
-                )
-                n += 1
-            out.flush()
-            pending.clear()
-
-        for i, item in enumerate(items):
-            if i % subset_num != subset_idx:
-                continue
-            if item["id"] in done_ids:
-                continue
-            if batched:
-                pending.append(item)
-                if len(pending) >= batch_size:
-                    flush()
-                continue
-            question, frames = prepare(item)
-            pred = chat.answer(question, video_frames=frames)
-            out.write(json.dumps({"id": item["id"], "pred": pred}) + "\n")
-            out.flush()
-            n += 1
         if batched:
-            flush()
+            # STOM for batch k+1 runs on a worker thread WHILE the chat
+            # decodes batch k: the tracker leg is relay-transfer-bound
+            # (frames ship at ~40 MB/s) and the QA leg is device-bound
+            # with an idle link, so a one-deep lookahead hides most of
+            # the STOM cost (JAX dispatch is thread-safe; the device
+            # serializes the tracker's small compute after the decode).
+            from concurrent.futures import ThreadPoolExecutor
+
+            batches = [
+                todo_items[k : k + batch_size]
+                for k in range(0, len(todo_items), batch_size)
+            ]
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(stom_props, batches[0]) if batches else None
+                for k, batch in enumerate(batches):
+                    props = fut.result()
+                    fut = (
+                        ex.submit(stom_props, batches[k + 1])
+                        if k + 1 < len(batches) else None
+                    )
+                    rows = [
+                        prepare(it, pre_propagated=props.get(j))
+                        for j, it in enumerate(batch)
+                    ]
+                    preds = chat.answer_batch(
+                        [q for q, _ in rows],
+                        video_frames_list=[f for _, f in rows],
+                    )
+                    for it, pred in zip(batch, preds):
+                        out.write(
+                            json.dumps({"id": it["id"], "pred": pred})
+                            + "\n"
+                        )
+                        n += 1
+                    out.flush()
+        else:
+            for item in todo_items:
+                question, frames = prepare(item)
+                pred = chat.answer(question, video_frames=frames)
+                out.write(
+                    json.dumps({"id": item["id"], "pred": pred}) + "\n"
+                )
+                out.flush()
+                n += 1
     return n
 
 

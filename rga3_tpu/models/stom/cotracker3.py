@@ -702,9 +702,9 @@ class CoTracker3Predictor:
 
     def _finish(self, out_tracks, out_vis, out_conf, n: int,
                 back: np.ndarray):
-        """(iters, T, P, 2) device outputs -> (tracks (T, n, 2) in
-        input-pixel coords, visible (T, n) bool)."""
-        tracks = np.asarray(out_tracks[-1])[:, :n] * back[None, None, :]
+        """Last-iteration (T, P, 2) tracks + (T, P) vis/conf ->
+        (tracks (T, n, 2) in input-pixel coords, visible (T, n) bool)."""
+        tracks = np.asarray(out_tracks)[:, :n] * back[None, None, :]
         # overflow-safe sigmoid (raw logits can be large early in
         # training; tanh form never overflows)
         vis_p = 0.5 * (1.0 + np.tanh(0.5 * np.asarray(out_vis)))
@@ -726,7 +726,9 @@ class CoTracker3Predictor:
         out = self._apply(
             self.params, jnp.asarray(video), jnp.asarray(q)
         )
-        return self._finish(out["tracks"], out["vis"], out["conf"],
+        # [-1] slices the last refinement iteration ON DEVICE, so only
+        # (T, P, 2) rides the relay back, not (iters, T, P, 2)
+        return self._finish(out["tracks"][-1], out["vis"], out["conf"],
                             n, back)
 
     @staticmethod
@@ -788,13 +790,20 @@ class CoTracker3Predictor:
                     self.params, jnp.asarray(video), jnp.asarray(q)
                 )
                 results[i] = self._finish(
-                    out["tracks"], out["vis"], out["conf"], n, back
+                    out["tracks"][-1], out["vis"], out["conf"], n, back
                 )
             return results
         # dispatch in chunks of max_batch_clips: the correlation volumes
         # scale linearly with the clip batch ((B, T, P, 49, 49) f32 per
         # level), and an unbounded batch next to a resident 7B serving
-        # tree OOMs the 16 GB chip at B=16
+        # tree OOMs the 16 GB chip at B=16.
+        # ALL chunks are enqueued before any result is fetched: JAX
+        # dispatch is async, so chunk k+1's host->device frame transfer
+        # (the tracker leg's measured bottleneck through the ~40 MB/s
+        # relay) streams while the device computes chunk k; queued
+        # executions hold only their input buffers (a few MB of uint8
+        # frames each), not their correlation volumes.
+        pending = []
         for c0 in range(0, len(live), self.max_batch_clips):
             chunk = slice(c0, c0 + self.max_batch_clips)
             c_live = live[chunk]
@@ -808,7 +817,11 @@ class CoTracker3Predictor:
                     self.params, videos[0], qs[0]
                 ).items()}
             )
-            tracks_np = np.asarray(out["tracks"])  # (B, iters, T, P, 2)
+            pending.append((c_live, c_preps, out))
+        for c_live, c_preps, out in pending:
+            # [:, -1] slices the last refinement iteration ON DEVICE —
+            # only (B, T, P, 2) rides the relay back
+            tracks_np = np.asarray(out["tracks"][:, -1])
             vis_np = np.asarray(out["vis"])
             conf_np = np.asarray(out["conf"])
             for j, i in enumerate(c_live):

@@ -284,6 +284,25 @@ def main():
             track_ms = 1000.0 * best_tr / args.batch
         qa_ms = 1000.0 / best  # per sample, batch amortized
         stom_ms = 1000.0 * best_stom / args.batch
+        # pipelined steady state — what the eval driver actually runs
+        # (videoinfer_eval.run_inference): STOM for batch k+1 on a
+        # worker thread WHILE the chat decodes batch k. The tracker leg
+        # is relay-transfer-bound and the decode leaves the link idle,
+        # so the pipeline rate approaches max(stom, qa) not their sum.
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_pipe = max(args.samples, 4)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            t0 = time.time()
+            fut = ex.submit(stom.propagate_in_video_batch, stom_batch)
+            for k in range(n_pipe):
+                fut.result()
+                if k + 1 < n_pipe:
+                    fut = ex.submit(
+                        stom.propagate_in_video_batch, stom_batch
+                    )
+                np.asarray(run())
+            pipe_ms = 1000.0 * (time.time() - t0) / (n_pipe * args.batch)
         stom_info = {
             "backend": args.stom,
             "batched": args.batch,
@@ -297,6 +316,8 @@ def main():
             ),
             "qa_ms_per_sample": round(qa_ms, 1),
             "share_of_pipeline": round(stom_ms / (stom_ms + qa_ms), 4),
+            "serial_ms_per_sample": round(stom_ms + qa_ms, 1),
+            "pipelined_ms_per_sample": round(pipe_ms, 1),
         }
 
     # Analytic model FLOPs (the pipeline spans several jitted fns, so XLA
@@ -325,18 +346,18 @@ def main():
         "int4": args.int4,
         "video_tokens": n_merged,
         "new_tokens": args.decode,
-        # with --stom the headline is the combined per-sample pipeline
-        # rate; mfu stays QA-only (the tracker's FLOPs aren't counted)
+        # with --stom the headline is the measured pipelined per-sample
+        # rate (STOM of batch k+1 overlapped with the decode of batch k,
+        # as the eval driver runs it); mfu stays QA-only (the tracker's
+        # FLOPs aren't counted)
         "value": round(
             best if stom_info is None
-            else 1000.0 / (stom_info["ms_per_sample"]
-                           + stom_info["qa_ms_per_sample"]), 3,
+            else 1000.0 / stom_info["pipelined_ms_per_sample"], 3,
         ),
         "unit": "samples/sec/chip",
         "ms_per_sample": round(
             1000.0 / best if stom_info is None
-            else stom_info["ms_per_sample"]
-            + stom_info["qa_ms_per_sample"], 1,
+            else stom_info["pipelined_ms_per_sample"], 1,
         ),
         "mfu": round(mfu(flops, B / best), 4) if best else 0.0,
     }))
