@@ -79,11 +79,18 @@ def preprocess_frames(
     patch_size: int = 14,
     merge_size: int = 2,
     temporal_patch_size: int = 2,
+    normalize: bool = True,
 ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
     """Frames (each (H, W, 3) RGB uint8) -> (patches (L, C*tps*ps*ps),
     grid_thw). Images are a single frame (tiled to temporal_patch_size).
 
     Matches Qwen2VLImageProcessor._preprocess patch extraction order.
+
+    normalize=False skips the CLIP mean/std step and returns UINT8
+    patches (the resize output is integer-valued, so this is lossless):
+    4x fewer host->device bytes, with `(x - mean) / std` applied on
+    device by the vision tower in the same f32 ops — bit-identical to
+    the f32 path (tests/test_processor.py pins it).
     """
     factor = patch_size * merge_size
     h, w = frames[0].shape[:2]
@@ -94,7 +101,8 @@ def preprocess_frames(
     proc = []
     for f in frames:
         x = _resize_bicubic(f, (rh, rw))
-        x = (x - mean) / std
+        if normalize:
+            x = (x - mean) / std
         proc.append(x.transpose(2, 0, 1))  # (C, H, W)
     arr = np.stack(proc)  # (T, C, H, W)
     t = arr.shape[0]
@@ -118,7 +126,8 @@ def preprocess_frames(
         grid_t * grid_h * grid_w,
         c * temporal_patch_size * patch_size * patch_size,
     )
-    return patches.astype(np.float32), (grid_t, grid_h, grid_w)
+    out_dtype = np.float32 if normalize else np.uint8
+    return patches.astype(out_dtype), (grid_t, grid_h, grid_w)
 
 
 @dataclass
@@ -229,12 +238,17 @@ class QwenVLProcessor:
         max_pixels: int = 1280 * 28 * 28,
         video_max_pixels: int = 320 * 28 * 28,
         tokens_per_second: int = 2,
+        ship_uint8: bool = True,
     ):
         self.tokenizer = tokenizer
         self.min_pixels = min_pixels
         self.max_pixels = max_pixels
         self.video_max_pixels = video_max_pixels
         self.tokens_per_second = tokens_per_second
+        # ship_uint8: emit UINT8 pixel values (CLIP normalization runs
+        # on device in the vision tower, bit-identical) — 4x fewer bytes
+        # through the host->device relay on the serving/eval path
+        self.ship_uint8 = ship_uint8
 
     @classmethod
     def from_pretrained(cls, model_dir: str, **kw):
@@ -259,17 +273,20 @@ class QwenVLProcessor:
         video_fps: float = 2.0,
         add_generation_prompt: bool = True,
     ) -> Dict[str, Any]:
+        norm = not self.ship_uint8
         image_patches, image_grids = [], []
         for frames in images:
             p, g = preprocess_frames(
-                list(frames), self.min_pixels, self.max_pixels
+                list(frames), self.min_pixels, self.max_pixels,
+                normalize=norm,
             )
             image_patches.append(p)
             image_grids.append(g)
         video_patches, video_grids = [], []
         for frames in videos:
             p, g = preprocess_frames(
-                list(frames), self.min_pixels, self.video_max_pixels
+                list(frames), self.min_pixels, self.video_max_pixels,
+                normalize=norm,
             )
             video_patches.append(p)
             video_grids.append(g)

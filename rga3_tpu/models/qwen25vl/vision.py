@@ -312,6 +312,25 @@ class QwenVisionTower(nn.Module):
         win_unpad: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.cfg
+        if pixel_patches.dtype == jnp.uint8:
+            # ship_uint8 path (QwenVLProcessor): patches arrive as raw
+            # resized uint8 and CLIP-normalize HERE, in the same f32 ops
+            # the host path uses — bit-identical output at 4x fewer
+            # host->device bytes. Per-dim mean/std: the patch layout's
+            # last axes are (c, tps, ps, ps), so each channel constant
+            # repeats over tps*ps*ps contiguous dims.
+            from ...data.processor import OPENAI_CLIP_MEAN, OPENAI_CLIP_STD
+
+            reps = pixel_patches.shape[-1] // 3
+            mean = np.repeat(
+                np.asarray(OPENAI_CLIP_MEAN, np.float32) * 255.0, reps
+            )
+            std = np.repeat(
+                np.asarray(OPENAI_CLIP_STD, np.float32) * 255.0, reps
+            )
+            pixel_patches = (
+                pixel_patches.astype(jnp.float32) - mean
+            ) / std
         x = nn.Dense(
             cfg.hidden_size, use_bias=False, dtype=compute_dtype,
             param_dtype=jnp.float32, name="patch_embed",
@@ -499,7 +518,9 @@ def pad_vision_inputs(
     never reach the LM (the scatter skips them), so the sentinel-window
     semantics of window_seg are preserved without representing them.
 
-    Returns (patches (budget, F) np.float32, layout_args dict of np arrays).
+    Returns (patches (budget, F) in pixel_patches' dtype — f32, or uint8
+    on the ship_uint8 path — and layout_args dict of np arrays). Pad
+    rows are zeros; they never reach attention or the LM either way.
     """
     assert budget_tokens % cfg.merge_unit == 0
     l = layout.total_tokens

@@ -277,3 +277,64 @@ def test_window_resident_matches_legacy_forward_and_grads():
         np.asarray(out_rs)[:n_real], np.asarray(base)[:n_real],
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_uint8_ship_bit_identical_to_f32():
+    """ship_uint8 path: preprocess_frames(normalize=False) uint8 patches
+    + on-device CLIP normalization produce BIT-identical logits to the
+    host-normalized f32 path, unpadded and at a static budget (the resize
+    output is integer-valued, and the tower replays the same f32 ops)."""
+    from rga3_tpu.data.processor import preprocess_frames
+
+    cfg = tiny_config(vocab_size=160_000)
+    model = Qwen25VL(cfg)
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)]
+    min_px, max_px = 4 * 28 * 28, 4 * 28 * 28  # pin the 2x2 merged grid
+    pf32, grid = preprocess_frames(frames, min_px, max_px)
+    pu8, grid_u = preprocess_frames(frames, min_px, max_px,
+                                    normalize=False)
+    assert grid == grid_u and pu8.dtype == np.uint8
+    # host-side check: normalizing the u8 patches reproduces pf32 exactly
+    mean = np.repeat(
+        np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32) * 255,
+        pu8.shape[1] // 3,
+    )
+    std = np.repeat(
+        np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32) * 255,
+        pu8.shape[1] // 3,
+    )
+    assert ((pu8.astype(np.float32) - mean) / std == pf32).all()
+
+    n_vis = grid[0] * grid[1] * grid[2] // 4
+    ids = rng.integers(0, 1000, size=(1, 8 + n_vis)).astype(np.int32)
+    ids[0, 2] = cfg.vision_start_token_id
+    ids[0, 3 : 3 + n_vis] = cfg.image_token_id
+    pos, _ = get_rope_index(cfg, ids, image_grid_thw=[grid])
+    layout = compute_vision_layout([grid], cfg.vision)
+    la = layout_device_args(layout, cfg.vision)
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids=jnp.asarray(ids),
+        pixel_patches=jnp.asarray(pf32), vision_layout=la,
+    )
+
+    def logits(patches, lay):
+        return np.asarray(model.apply(
+            params, input_ids=jnp.asarray(ids),
+            position_ids=jnp.asarray(pos),
+            pixel_patches=jnp.asarray(patches),
+            vision_layout=lay,
+        )["logits"])
+
+    base = logits(pf32, la)
+    assert (logits(pu8, la) == base).all(), "u8 unpadded != f32"
+
+    budget = pf32.shape[0] + 16
+    padded32, la32 = pad_vision_inputs(pf32, layout, cfg.vision, budget)
+    padded8, la8 = pad_vision_inputs(pu8, layout, cfg.vision, budget)
+    assert padded8.dtype == np.uint8
+    j32 = {k: jnp.asarray(v) for k, v in la32.items()}
+    j8 = {k: jnp.asarray(v) for k, v in la8.items()}
+    assert (logits(padded8, j8) == logits(padded32, j32)).all(), (
+        "u8 budget-padded != f32 budget-padded"
+    )
