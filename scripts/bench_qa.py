@@ -178,6 +178,44 @@ def main():
         np.asarray(acc)
         best = max(best, (K * B) / (time.time() - t0))
 
+    # serving-honest variant: ship the batch's UINT8 patches per call
+    # (the processor's ship_uint8 default; CLIP-normalize runs on
+    # device, bit-identical) — what the eval driver actually pays per
+    # batch, vs the staged-patches number above which measures device
+    # compute only
+    patches_u8_host = rng.integers(
+        0, 256,
+        size=(B * n_patches, 3 * vcfg.temporal_patch_size
+              * vcfg.patch_size**2),
+    ).astype(np.uint8)
+
+    def run_upload():
+        return greedy_generate(
+            model, params,
+            jnp.asarray(ids), jnp.ones((B, L), jnp.int32),
+            jnp.asarray(pos), jnp.asarray(deltas),
+            max_new_tokens=args.decode,
+            eos_token_id=-1,
+            pad_token_id=151643,
+            pixel_patches=jnp.asarray(patches_u8_host),
+            vision_layout=la,
+            compute_dtype=jnp.bfloat16,
+        )
+
+    t0 = time.time()
+    np.asarray(run_upload())
+    print(f"# u8-upload compile+first {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    best_upload = 0.0
+    for _ in range(args.samples):
+        t0 = time.time()
+        acc = None
+        for _i in range(K):
+            toks = run_upload()
+            acc = toks if acc is None else acc + toks
+        np.asarray(acc)
+        best_upload = max(best_upload, (K * B) / (time.time() - t0))
+
     stom_info = None
     if args.stom != "none":
         # config-5 leg: per QA sample the key-frame overlay is propagated
@@ -359,6 +397,12 @@ def main():
             1000.0 / best if stom_info is None
             else stom_info["pipelined_ms_per_sample"], 1,
         ),
+        # per-batch u8 patch upload included (the real serving path;
+        # upload bytes = B * n_patches * 1176 uint8)
+        "with_u8_upload_samples_per_sec": round(best_upload, 3),
+        "with_u8_upload_ms_per_sample": round(
+            1000.0 / best_upload, 1
+        ) if best_upload else None,
         "mfu": round(mfu(flops, B / best), 4) if best else 0.0,
     }))
 
