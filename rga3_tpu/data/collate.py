@@ -35,7 +35,9 @@ class TrainSample:
     images: List[np.ndarray] = field(default_factory=list)
     video_fps: float = 2.0
     # SAM side
-    sam_frames: Optional[np.ndarray] = None  # (T, H, W, 3) float32 normalized
+    sam_frames: Optional[np.ndarray] = None  # (T, H, W, 3) uint8 resized
+    # (normalized on device by the SAM entry points) — all datasets in a
+    # hybrid batch must agree on the dtype (np.stack would promote)
     gt_masks: Optional[np.ndarray] = None  # (T, h, w) float 0/1
     has_masks: bool = True  # False = VQA-only sample (zero-mask sentinel,
     # ref refer_vqa_datatset.py:115)

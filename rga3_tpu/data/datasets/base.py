@@ -36,15 +36,24 @@ SAM_MEAN = np.asarray([123.675, 116.28, 103.53], np.float32)
 SAM_STD = np.asarray([58.395, 57.12, 57.375], np.float32)
 
 
-def sam_preprocess_frame(frame: np.ndarray, size: int = 1024) -> np.ndarray:
+def sam_preprocess_frame(
+    frame: np.ndarray, size: int = 1024, normalize: bool = True
+) -> np.ndarray:
     """HWC uint8 -> (size, size, 3) float32 normalized (DirectResize +
-    ImageNet stats)."""
+    ImageNet stats).
+
+    normalize=False returns the resized frame as UINT8 (lossless — the
+    resize output is integer-valued) and the SAM entry points apply the
+    same `(x - mean) / std` on device (ops.resize.sam_normalize_maybe):
+    bit-identical at 4x fewer host->device bytes. The train datasets use
+    this path; every dataset must agree on the dtype, since collate
+    stacks sam_frames across the hybrid batch."""
     from PIL import Image
 
-    img = np.asarray(
-        Image.fromarray(frame).resize((size, size)), np.float32
-    )
-    return (img - SAM_MEAN) / SAM_STD
+    img = np.asarray(Image.fromarray(frame).resize((size, size)))
+    if not normalize:
+        return img
+    return (img.astype(np.float32) - SAM_MEAN) / SAM_STD
 
 
 def resize_mask(mask: np.ndarray, res: int) -> np.ndarray:
@@ -120,7 +129,7 @@ def build_pseudo_video_sample(
     """Image -> pseudo-video TrainSample (image repeated across frames)."""
     from ..collate import TrainSample
 
-    sam_frame = sam_preprocess_frame(image, sam_size)
+    sam_frame = sam_preprocess_frame(image, sam_size, normalize=False)
     sam_frames = np.repeat(sam_frame[None], num_frames_sam, axis=0)
     gt = np.repeat(
         resize_mask(mask, mask_res)[None], num_frames_sam, axis=0

@@ -47,7 +47,10 @@ def _qa_messages(content_type: str, turns: Sequence[Dict]) -> List[ChatMessage]:
 
 
 def _dummy_sam(num_frames_sam: int, sam_size: int, mask_res: int):
-    frames = np.zeros((num_frames_sam, sam_size, sam_size, 3), np.float32)
+    # uint8 like every real dataset's sam_frames (collate stacks across
+    # the hybrid batch); these samples carry masks_valid=0 so the SAM
+    # branch's output is zero-weighted either way
+    frames = np.zeros((num_frames_sam, sam_size, sam_size, 3), np.uint8)
     gt = np.zeros((num_frames_sam, mask_res, mask_res), np.float32)
     return frames, gt
 

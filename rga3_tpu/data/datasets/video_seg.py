@@ -137,7 +137,8 @@ class VideoExpressionDataset(TaskDataset):
             imgs.append(np.asarray(Image.open(p).convert("RGB")))
         dense = random_dense_subset(self.num_frames_mllm, self.num_frames_sam)
         sam_frames = np.stack(
-            [sam_preprocess_frame(imgs[i], self.sam_size) for i in dense]
+            [sam_preprocess_frame(imgs[i], self.sam_size, normalize=False)
+             for i in dense]
         )
         hw = imgs[0].shape[:2]
         gt = np.stack([
@@ -216,7 +217,8 @@ class YTVOSDataset(TaskDataset):
             masks.append((lab == int(item["obj_id"])).astype(np.float32))
         dense = random_dense_subset(self.num_frames_mllm, self.num_frames_sam)
         sam_frames = np.stack(
-            [sam_preprocess_frame(imgs[i], self.sam_size) for i in dense]
+            [sam_preprocess_frame(imgs[i], self.sam_size, normalize=False)
+             for i in dense]
         )
         gt = np.stack([resize_mask(masks[i], self.mask_res) for i in dense])
         return TrainSample(

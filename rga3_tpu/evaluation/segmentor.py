@@ -199,9 +199,22 @@ class UniGRSegmentor:
             x = sam_preprocess_frames_device(frames_u8, sam_size)
             return _sam_encode(params, x.astype(cdtype))
 
+        @jax.jit
+        def _sam_encode_resized_u8(params, frames_u8):
+            # host-resized uint8 frames (PIL semantics preserved) ->
+            # ImageNet normalize f32 + compute-dtype cast on device:
+            # bit-identical to shipping host-normalized frames, at 4x
+            # fewer bytes through the relay
+            from ..ops.resize import sam_normalize_maybe
+
+            return _sam_encode(
+                params, sam_normalize_maybe(frames_u8).astype(cdtype)
+            )
+
         self._llm_seg = _llm_seg
         self._sam_encode = _sam_encode
         self._sam_encode_u8 = _sam_encode_u8
+        self._sam_encode_resized_u8 = _sam_encode_resized_u8
         self._sam_decode_feats = _sam_decode_feats
 
     def _seg_embedding(
@@ -298,16 +311,16 @@ class UniGRSegmentor:
                     self.params, jnp.asarray(sam_u8, jnp.uint8)
                 )
             else:
-                sam_frames = np.stack(
-                    [sam_preprocess_frame(f, sam_size) for f in sub]
-                )
+                sam_frames = np.stack([
+                    sam_preprocess_frame(f, sam_size, normalize=False)
+                    for f in sub
+                ])
                 if pad:
                     sam_frames = np.pad(
                         sam_frames, ((0, pad), (0, 0), (0, 0), (0, 0))
                     )
-                feats = self._sam_encode(
-                    self.params,
-                    jnp.asarray(sam_frames, self.compute_dtype),
+                feats = self._sam_encode_resized_u8(
+                    self.params, jnp.asarray(sam_frames)
                 )
             for ei, emb in zip(active, seg_embs):
                 lang = jnp.broadcast_to(

@@ -48,8 +48,14 @@ class Sam1Model(nn.Module):
         return out
 
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
-        """images (B, H, W, 3), already preprocessed. -> (B, S, S, 256)."""
-        return self.image_encoder(images)
+        """images (B, H, W, 3), already preprocessed — or uint8 at
+        image_size, in which case the ImageNet normalization runs here
+        on device (bit-identical to the host path; the SAM-v1
+        pixel_mean/std are the same ImageNet stats). -> (B, S, S, 256).
+        """
+        from ...ops.resize import sam_normalize_maybe
+
+        return self.image_encoder(sam_normalize_maybe(images))
 
     def decode_with_language(
         self,

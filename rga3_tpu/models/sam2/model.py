@@ -107,8 +107,15 @@ class Sam2Model(nn.Module):
         (ref qwen_2_5_vl_sam2.py:120-126), so its backward pass (~2x the
         trunk forward FLOPs at 1024²) is pure waste. conv_s0/conv_s1 sit
         BELOW the cut — they belong to sam_mask_decoder, which the
-        reference trains (ref train_joint.py:237-251)."""
-        out = self.image_encoder(images)
+        reference trains (ref train_joint.py:237-251).
+
+        uint8 input is accepted too: the ImageNet normalization then
+        runs here on device (ops.resize.sam_normalize_maybe),
+        bit-identical to host-side normalization at 4x fewer
+        host->device bytes."""
+        from ...ops.resize import sam_normalize_maybe
+
+        out = self.image_encoder(sam_normalize_maybe(images))
         if stop_backbone_grad:
             out = jax.lax.stop_gradient(out)
         fpn = list(out["backbone_fpn"])

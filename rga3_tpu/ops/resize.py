@@ -114,6 +114,22 @@ def postprocess_masks(
     return resize_bilinear(masks, tuple(original_size))
 
 
+def sam_normalize_maybe(images: jnp.ndarray) -> jnp.ndarray:
+    """UINT8 frames -> ImageNet-normalized f32 on device; float frames
+    pass through untouched (already normalized host-side).
+
+    This is the bit-exact half of the device-preprocess story: the data
+    layer resizes on the host (PIL semantics pinned) but ships the
+    integer-valued uint8 result, and the SAM entry points replay
+    `(x - mean) / std` in the same f32 ops the host path used — 4x
+    fewer host->device bytes with identical numerics."""
+    if images.dtype == jnp.uint8:
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        return (images.astype(jnp.float32) - mean) / std
+    return images
+
+
 def sam_preprocess_frames_device(
     frames_u8: jnp.ndarray, size: int = 1024
 ) -> jnp.ndarray:
