@@ -33,6 +33,9 @@ def main():
     p.add_argument("--ckpt", default=None,
                    help="trained params (models/stom/cotracker.save_params "
                    "format); random init without it")
+    p.add_argument("--weights", default=None,
+                   help="explicit self-describing CoTracker3 npz for the "
+                   "shipped backend (e.g. runs/ct3_official.npz)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny net config (matches train_cotracker --tiny)")
     p.add_argument("--frames", type=int, default=8)
@@ -47,7 +50,8 @@ def main():
     if args.backend == "shipped":
         from rga3_tpu.models.stom.cotracker3 import shipped_tracker
 
-        backend = shipped_tracker(max_points=args.points)
+        backend = shipped_tracker(path=args.weights,
+                                  max_points=args.points)
         if backend is None:
             print("# no shipped weights; falling back to lk",
                   file=sys.stderr)
