@@ -66,8 +66,15 @@ class HieraConfig(ConfigBase):
     # instead of the raw 7x7-stride-4 conv: a 3-channel contraction maps
     # terribly onto the MXU (padded to lanes), while the rearranged
     # 2x2x48 form is a 192-wide contraction. Numerically the same conv
-    # (kernel rearranged, one zero tap row/col); A/B'd on v5e (r4).
-    s2d_patch_embed: bool = True
+    # (kernel rearranged, one zero tap row/col). A/B'd on v5e (r4,
+    # bench_sam2_legs, warm cache, same chip hour): tracking 38.76 vs
+    # 39.08 fps, decode 52.16 vs 53.15 — the end-to-end number is a
+    # small consistent LOSS (the space-to-depth gather costs more than
+    # the lane-padded 3-channel contraction it removes), so the flag
+    # stays OFF; the per-stage profiler that motivated it saw only the
+    # embed stage in isolation. RGA3_S2D_PATCH_EMBED=1 re-enables for
+    # future A/B (parity + grad tests keep the path correct).
+    s2d_patch_embed: bool = False
 
     @property
     def depth(self) -> int:
