@@ -22,7 +22,6 @@ from ..visual_prompts import COLOR_POOL, image_blending
 from .base import (
     TaskDataset,
     random_dense_subset,
-    sam_preprocess_frame,
 )
 
 

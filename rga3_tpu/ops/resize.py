@@ -127,6 +127,19 @@ def sam_normalize_maybe(images: jnp.ndarray) -> jnp.ndarray:
         mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
         return (images.astype(jnp.float32) - mean) / std
+    # Float input must ALREADY be ImageNet-normalized (|x| <~ 3).
+    # Raw 0-255 floats reaching here is always a caller bug (e.g. a
+    # host-side astype(float32) on uint8 frames) — fail loudly under
+    # eager/debug instead of silently training on garbage.
+    if not isinstance(images, jax.core.Tracer):
+        amax = float(jnp.max(jnp.abs(images.astype(jnp.float32))))
+        if amax > 16.0:
+            raise ValueError(
+                "sam_normalize_maybe: float input with |x| max "
+                f"{amax:.1f} — looks like raw pixels, not "
+                "ImageNet-normalized frames. Ship uint8 (preferred) or "
+                "normalize on host first."
+            )
     return images
 
 

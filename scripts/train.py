@@ -23,6 +23,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _check_u8(frames: np.ndarray) -> np.ndarray:
+    """SAM frames must reach the device as uint8 so
+    ops.resize.sam_normalize_maybe fires on device; a float array here
+    means something upstream normalized (fine) or cast raw pixels
+    (silent garbage) — only uint8 keeps both the bytes and the numerics."""
+    if frames.dtype != np.uint8:
+        raise TypeError(
+            f"images_sam dtype {frames.dtype} — the data layer emits "
+            "uint8 SAM frames; do not cast on host (device normalization "
+            "would be skipped)."
+        )
+    return frames
+
+
 def parse_args():
     p = argparse.ArgumentParser("rga3_tpu UniGR training")
     p.add_argument("--model_dir", required=True,
@@ -353,7 +367,11 @@ def main():
                     "labels": c["labels"],
                     "position_ids": c["position_ids"],
                     "segment_ids": c["attention_mask"].astype(np.int32),
-                    "images_sam": c["images_sam"].astype(np.float32),
+                    # ship uint8 — Sam2Model.forward_image ImageNet-
+                    # normalizes on device (bit-identical to the host
+                    # path; casting to f32 here would skip it and train
+                    # on raw 0-255 pixels)
+                    "images_sam": _check_u8(c["images_sam"]),
                     "gt_masks": c["gt_masks"],
                     "masks_valid": c["masks_valid"],
                 }
