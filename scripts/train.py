@@ -85,6 +85,9 @@ def parse_args():
     p.add_argument("--profile_dir", default=None)
     p.add_argument("--no_eval", action="store_true",
                    help="skip the per-epoch ReasonSeg-val gIoU/cIoU loop")
+    p.add_argument("--val_at_start", action="store_true",
+                   help="also run the val loop BEFORE step 0 (baseline "
+                   "for learning-trajectory evidence)")
     p.add_argument("--val_samples", type=int, default=200)
     # multi-host launch (ref torchrun --nnodes/--node_rank/--master_addr,
     # run_torchrun.sh:6-23); also read from COORDINATOR_ADDRESS /
@@ -425,8 +428,53 @@ def main():
             make_accum_batch, num_workers=args.data_workers, buffer_size=2,
             indexed=True,
         )
+        def run_val(epoch_label):
+            """ReasonSeg-val gIoU/cIoU (ref train_joint.py:586-648): all
+            hosts all-gather the params; rank 0 runs the loop on its
+            local devices, then broadcasts the metric so every rank
+            agrees on is-best. Returns the global gIoU (or None)."""
+            try:
+                from rga3_tpu.evaluation.image_seg_eval import (
+                    run_reason_seg_val,
+                )
+                from rga3_tpu.evaluation.segmentor import UniGRSegmentor
+
+                val_params = replicate_to_host(
+                    {"params": state.params["params"]}, mesh
+                )
+                scores = None
+                if is_main:
+                    seg = UniGRSegmentor(
+                        model, val_params,
+                        processor,
+                        num_frames_mllm=args.num_frames_mllm,
+                        compute_dtype=jnp.bfloat16,
+                    )
+                    scores = run_reason_seg_val(
+                        seg, args.dataset_dir,
+                        max_samples=args.val_samples,
+                    )
+                    print(f"val {epoch_label}: {scores}", flush=True)
+                    if writer and isinstance(epoch_label, int):
+                        writer.add_scalar("val/gIoU", scores["gIoU"],
+                                          epoch_label)
+                        writer.add_scalar("val/cIoU", scores["cIoU"],
+                                          epoch_label)
+                return broadcast_scalar(
+                    scores["gIoU"] if scores else None
+                )
+            except FileNotFoundError:
+                return broadcast_scalar(None)
+            except Exception as e:
+                print(f"val skipped: {e}", flush=True)
+                return broadcast_scalar(None)
+
         global_step = start_epoch * args.steps_per_epoch
         loss_trace = []
+        if args.val_at_start and not args.no_eval:
+            # pre-training baseline: the number epoch-N gIoU must beat
+            # for the run to demonstrate learning
+            run_val("step0")
         for epoch in range(start_epoch, args.epochs):
             meters = {
                 k: AverageMeter(k)
@@ -464,44 +512,7 @@ def main():
             # per-epoch ReasonSeg-val gIoU/cIoU (ref train_joint.py:586-648)
             metric = None
             if not args.no_eval:
-                try:
-                    from rga3_tpu.evaluation.image_seg_eval import (
-                        run_reason_seg_val,
-                    )
-                    from rga3_tpu.evaluation.segmentor import UniGRSegmentor
-
-                    # all hosts all-gather the params; rank 0 runs the val
-                    # loop on its local devices, then broadcasts the metric
-                    # so every rank agrees on is-best
-                    val_params = replicate_to_host(
-                        {"params": state.params["params"]}, mesh
-                    )
-                    scores = None
-                    if is_main:
-                        seg = UniGRSegmentor(
-                            model, val_params,
-                            processor,
-                            num_frames_mllm=args.num_frames_mllm,
-                            compute_dtype=jnp.bfloat16,
-                        )
-                        scores = run_reason_seg_val(
-                            seg, args.dataset_dir,
-                            max_samples=args.val_samples,
-                        )
-                        print(f"val epoch {epoch}: {scores}", flush=True)
-                        if writer:
-                            writer.add_scalar("val/gIoU", scores["gIoU"],
-                                              epoch)
-                            writer.add_scalar("val/cIoU", scores["cIoU"],
-                                              epoch)
-                    metric = broadcast_scalar(
-                        scores["gIoU"] if scores else None
-                    )
-                except FileNotFoundError:
-                    metric = broadcast_scalar(None)
-                except Exception as e:
-                    print(f"val skipped: {e}", flush=True)
-                    metric = broadcast_scalar(None)
+                metric = run_val(epoch)
             # all ranks save their shards of the global arrays (Orbax);
             # meta/rmtree are rank-0 inside the manager
             is_best = ckpt.save_epoch(state, epoch, metric=metric)
