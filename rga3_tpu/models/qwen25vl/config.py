@@ -95,6 +95,13 @@ class QwenTextConfig(ConfigBase):
     # ops.quant.quantize_qwen_params(bits=4). Mutually exclusive with
     # quant_int8.
     quant_int4: bool = False
+    # int8 KV cache (beyond the reference): K/V stored as int8 with a
+    # per-(position, kv-head) f32 scale, dequantized inside the decode
+    # attention. Halves the cache's share of decode HBM traffic — at the
+    # serving batch the KV stream is ~25% of the weight stream. Prefill
+    # math is untouched (flash runs on the raw bf16 K/V; only the stored
+    # copy is quantized).
+    kv_cache_int8: bool = False
 
 
 @dataclass(frozen=True)

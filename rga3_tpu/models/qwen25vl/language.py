@@ -40,12 +40,44 @@ class RMSNorm(nn.Module):
         return (normed * scale).astype(x.dtype)
 
 
+# per-layer cache planes threaded through the decoder (scan + unrolled);
+# the scale planes exist only for int8 caches
+_CACHE_PLANES = ("k", "v", "k_scale", "v_scale")
+
+
+def _quantize_kv_i8(t: jnp.ndarray):
+    """(B, L, Hkv, hd) -> (int8 values, f32 per-vector scale over hd).
+
+    Symmetric absmax/127 per (batch, position, kv-head) vector — the
+    head-dim direction is what the attention dot contracts, so one scale
+    per vector keeps the dequant a rank-broadcast multiply."""
+    tf = t.astype(jnp.float32)
+    s = jnp.max(jnp.abs(tf), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.round(tf / s).astype(jnp.int8)
+    return q, s[..., 0]
+
+
 def make_kv_cache(
     cfg: QwenTextConfig, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> Dict[str, Any]:
-    """Static-shape KV cache pytree for all layers."""
+    """Static-shape KV cache pytree for all layers.
+
+    With cfg.kv_cache_int8 the K/V planes are int8 plus per-(position,
+    kv-head) f32 scales (1/128 the elements) — half the decode-time HBM
+    stream of a bf16 cache."""
     shape = (cfg.num_hidden_layers, batch, max_len,
              cfg.num_key_value_heads, cfg.head_dim)
+    if cfg.kv_cache_int8:
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "idx": jnp.zeros((), jnp.int32),
+            "seg": jnp.zeros((batch, max_len), jnp.int32),
+            "fresh": jnp.zeros((), jnp.int32),
+        }
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
@@ -204,17 +236,37 @@ class Attention(nn.Module):
             out = flash_attention(
                 q, k, v, causal=True, segment_ids=segment_ids
             )
-            new_cache = (k, v)
+            new_cache = {"k": k, "v": v}
         else:
             # decode: append k/v at cache_idx, attend over filled prefix
+            quant = "k_scale" in layer_cache
             ck, cv = layer_cache["k"], layer_cache["v"]
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype), (0, cache_idx, 0, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype), (0, cache_idx, 0, 0)
-            )
-            new_cache = (ck, cv)
+            if quant:
+                kq, ks = _quantize_kv_i8(k)
+                vq, vs = _quantize_kv_i8(v)
+                ck = jax.lax.dynamic_update_slice(
+                    ck, kq, (0, cache_idx, 0, 0)
+                )
+                cv = jax.lax.dynamic_update_slice(
+                    cv, vq, (0, cache_idx, 0, 0)
+                )
+                cks = jax.lax.dynamic_update_slice(
+                    layer_cache["k_scale"], ks, (0, cache_idx, 0)
+                )
+                cvs = jax.lax.dynamic_update_slice(
+                    layer_cache["v_scale"], vs, (0, cache_idx, 0)
+                )
+                new_cache = {
+                    "k": ck, "v": cv, "k_scale": cks, "v_scale": cvs,
+                }
+            else:
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k.astype(ck.dtype), (0, cache_idx, 0, 0)
+                )
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v.astype(cv.dtype), (0, cache_idx, 0, 0)
+                )
+                new_cache = {"k": ck, "v": cv}
             if l > 1 and fresh_cache:
                 # Prefill into a cache statically known to be empty (the
                 # "fresh" marker make_kv_cache plants and forward passes
@@ -233,11 +285,18 @@ class Attention(nn.Module):
                     new_cache,
                 )
             max_len = ck.shape[1]
-            kf = jnp.repeat(ck, h // hkv, axis=2)
-            vf = jnp.repeat(cv, h // hkv, axis=2)
+            if quant:
+                # dequant fuses into the dot's operand read (int8 load +
+                # cast + broadcast-mul), so the HBM stream stays int8
+                ckf = ck.astype(jnp.float32) * cks[..., None]
+                cvf = cv.astype(jnp.float32) * cvs[..., None]
+            else:
+                ckf = ck.astype(jnp.float32)
+                cvf = cv.astype(jnp.float32)
+            kf = jnp.repeat(ckf, h // hkv, axis=2)
+            vf = jnp.repeat(cvf, h // hkv, axis=2)
             logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                kf.astype(jnp.float32),
+                "bqhd,bkhd->bhqk", q.astype(jnp.float32), kf,
             ) * (hd**-0.5)
             kpos = jnp.arange(max_len)[None, None, None, :]
             qpos = (cache_idx + jnp.arange(l))[None, None, :, None]
@@ -248,7 +307,7 @@ class Attention(nn.Module):
             logits = jnp.where(valid, logits, -1e30)
             probs = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum(
-                "bhqk,bkhd->bqhd", probs, vf.astype(jnp.float32)
+                "bhqk,bkhd->bqhd", probs, vf
             ).astype(x.dtype)
 
         out = out.reshape(b, l, h * hd)
@@ -357,27 +416,28 @@ class QwenLM(nn.Module):
                 fresh_cache,
             )
         else:
-            new_k, new_v = [], []
+            per_layer = []
             layer_cls = DecoderLayer
             if self.remat and cache is None:
                 layer_cls = _remat_wrap(DecoderLayer, self.remat)
             for i in range(cfg.num_hidden_layers):
                 layer_cache = None
                 if cache is not None:
-                    layer_cache = {"k": cache["k"][i], "v": cache["v"][i]}
+                    layer_cache = {
+                        key: cache[key][i] for key in _CACHE_PLANES
+                        if key in cache
+                    }
                 x, updated = layer_cls(cfg, name=f"layers_{i}")(
                     x, cos, sin, segment_ids, layer_cache, cache_idx,
                     cache_seg, fresh_cache,
                 )
                 if cache is not None:
-                    new_k.append(updated[0])
-                    new_v.append(updated[1])
+                    per_layer.append(updated)
             new_cache = None
             if cache is not None:
                 new_cache = {
-                    "k": jnp.stack(new_k),
-                    "v": jnp.stack(new_v),
-                    "idx": cache["idx"] + inputs_embeds.shape[1],
+                    key: jnp.stack([u[key] for u in per_layer])
+                    for key in per_layer[0]
                 }
 
         x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
@@ -407,7 +467,7 @@ class QwenLM(nn.Module):
                 )
                 if layer_cache is None:
                     return out, None
-                return out, {"k": updated[0], "v": updated[1]}
+                return out, updated
 
         scan = nn.scan(
             ScannedLayer,
@@ -420,14 +480,16 @@ class QwenLM(nn.Module):
         )
         layer_caches = (
             None if cache is None
-            else {"k": cache["k"], "v": cache["v"]}
+            else {
+                key: cache[key] for key in _CACHE_PLANES if key in cache
+            }
         )
         x, stacked = scan(cfg, self.remat, name="layers_scan")(
             x, layer_caches
         )
         new_cache = None
         if cache is not None:
-            new_cache = {"k": stacked["k"], "v": stacked["v"]}
+            new_cache = dict(stacked)
         return x, new_cache
 
 

@@ -32,6 +32,10 @@ def main():
         help="weight-only int8 (ops.quant): halves weight HBM traffic",
     )
     p.add_argument(
+        "--kv-int8", dest="kv_int8", action="store_true",
+        help="int8 KV cache: halves the cache's decode HBM stream",
+    )
+    p.add_argument(
         "--int4", action="store_true",
         help="weight-only int4 (nibble-packed, group-32 scales): "
         "~4x less weight HBM traffic",
@@ -56,7 +60,8 @@ def main():
         "7b": QWEN25_VL_7B,
     }[args.size]
     cfg = qcfg.text.replace(
-        scan_layers=True, quant_int8=args.int8, quant_int4=args.int4
+        scan_layers=True, quant_int8=args.int8, quant_int4=args.int4,
+        kv_cache_int8=args.kv_int8,
     )
     model = QwenForCausalLM(cfg)
     quant = args.int8 or args.int4

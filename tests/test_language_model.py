@@ -77,6 +77,71 @@ def test_segment_ids_isolate_padding():
     )
 
 
+def test_int8_kv_cache_decode_close_to_fp():
+    """kv_cache_int8: same params, decode logits within quantization
+    tolerance of the fp cache, through prefill + chunked prefill +
+    single-token steps (the masked decode path dequantizes int8 K/V)."""
+    cfg, model, params, ids = _build()
+    qcfg = cfg.replace(kv_cache_int8=True)
+    qmodel = QwenForCausalLM(qcfg)
+
+    full = model.apply(params, input_ids=ids)["logits"]
+
+    cache = make_kv_cache(qcfg, batch=2, max_len=16, dtype=jnp.float32)
+    assert cache["k"].dtype == jnp.int8
+    out = qmodel.apply(params, input_ids=ids[:, :4], cache=cache)
+    logits_steps = [out["logits"]]
+    # chunked prefill into a used int8 cache
+    out = qmodel.apply(params, input_ids=ids[:, 4:7], cache=out["cache"])
+    logits_steps.append(out["logits"])
+    cache = out["cache"]
+    for t in range(7, 10):
+        out = qmodel.apply(
+            params, input_ids=ids[:, t : t + 1], cache=cache
+        )
+        cache = out["cache"]
+        logits_steps.append(out["logits"])
+    stepped = np.asarray(jnp.concatenate(logits_steps, axis=1))
+    ref = np.asarray(full)
+    # absmax/127 per-vector quantization: ~0.5% relative K/V error;
+    # bound the logit deviation relative to the logit scale
+    scale = np.abs(ref).max()
+    assert np.abs(stepped - ref).max() < 0.05 * max(scale, 1.0)
+    # and the prefill chunk (fresh flash path, raw K/V) is exact
+    np.testing.assert_allclose(
+        stepped[:, :4], ref[:, :4], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_int8_kv_cache_greedy_generate_runs():
+    from rga3_tpu.models.qwen25vl import tiny_config as _tc
+    from rga3_tpu.models.qwen25vl.model import Qwen25VL
+    from rga3_tpu.models.qwen25vl.generate import greedy_generate
+    from rga3_tpu.models.qwen25vl.positions import get_rope_index
+
+    cfg = _tc(vocab_size=300)
+    ids = np.random.default_rng(0).integers(0, 300, (2, 6)).astype(np.int32)
+    model = Qwen25VL(cfg)
+    params = model.init(jax.random.PRNGKey(0), input_ids=jnp.asarray(ids))
+    pos, deltas = get_rope_index(cfg, ids)
+    kw = dict(
+        max_new_tokens=5, eos_token_id=10_000, pad_token_id=0,
+        compute_dtype=jnp.float32,
+    )
+    ref = np.asarray(greedy_generate(
+        model, params, jnp.asarray(ids), jnp.ones((2, 6), jnp.int32),
+        jnp.asarray(pos), jnp.asarray(deltas), **kw,
+    ))
+    qmodel = Qwen25VL(cfg.replace(text=cfg.text.replace(kv_cache_int8=True)))
+    got = np.asarray(greedy_generate(
+        qmodel, params, jnp.asarray(ids), jnp.ones((2, 6), jnp.int32),
+        jnp.asarray(pos), jnp.asarray(deltas), **kw,
+    ))
+    assert got.shape == ref.shape
+    # greedy tokens agree on the tiny model (quant noise << logit gaps)
+    np.testing.assert_array_equal(got, ref)
+
+
 @pytest.mark.slow
 def test_sampling_generate_runs():
     """temperature>0 + top_p nucleus path through greedy_generate."""
