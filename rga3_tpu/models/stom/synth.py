@@ -261,6 +261,7 @@ def make_training_clip(
     n_fg: Tuple[int, int] = (0, 2),
     occluder_prob: float = 0.7,
     random_query_frame: bool = True,
+    speed_exponent: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """One supervised clip: (frames (T,H,W,3) [0,1], queries (N,3)
     (t0,x,y), gt_tracks (T,N,2), gt_vis (T,N) bool).
@@ -274,8 +275,12 @@ def make_training_clip(
     points). Visibility is exact: a point is visible iff in-bounds and
     not covered by any layer above its own. Per-clip speed is drawn
     uniformly from [0.5, max_speed] so one curriculum covers the smooth
-    and large-motion regimes."""
-    speed = float(rng.uniform(0.5, max_speed))
+    and large-motion regimes; `speed_exponent` < 1 biases the draw
+    toward max_speed (speed = 0.5 + range * u^e) for
+    large-displacement-weighted curricula."""
+    speed = 0.5 + (max_speed - 0.5) * float(
+        rng.uniform() ** speed_exponent
+    )
     margin = int(speed * t + 8)
     texture = _smooth_noise(rng, h + 2 * margin, w + 2 * margin)
     cx, cy = w / 2, h / 2
@@ -445,3 +450,55 @@ def make_training_clip(
     # the query frame, so override its label there
     vis[q_frame] = True
     return frames, queries, gt, vis
+
+
+def benchmark_tracker_serving(
+    track_points_fn,
+    seeds: Tuple[int, ...] = tuple(range(8)),
+    t: int = 8,
+    h: int = 160,
+    w: int = 224,
+    n_points: int = 24,
+    max_speed: float = 10.0,
+) -> dict:
+    """Serving-resolution suite on the LAYERED generator — the r4
+    verdict's gap: the fixed 64² suite is below the 160×224 STOM serving
+    resolution and its band-limited-noise texture lets global-motion
+    shortcuts win. Clips here have parallax layers, textured sprites and
+    opaque occluders (same family the shipped tracker trains on, but a
+    DISJOINT fixed seed range), split into slow/fast regimes by the
+    clip's true median per-frame displacement, with hidden-point error
+    reported separately."""
+    slow_errs, fast_errs, occ_errs, stay = [], [], [], []
+    for s in seeds:
+        rng = np.random.default_rng(5000 + s)
+        frames, queries, gt, vis = make_training_clip(
+            rng, t=t, h=h, w=w, n_points=n_points,
+            max_speed=max_speed, random_query_frame=False,
+        )
+        pts0 = queries[:, 1:3]
+        frames_u8 = (frames * 255.0).astype(np.uint8)
+        pred = np.asarray(track_points_fn(frames_u8, pts0, 0))
+        err = np.linalg.norm(pred - gt, axis=-1)
+        disp = np.linalg.norm(np.diff(gt, axis=0), axis=-1)
+        clip_speed = float(np.median(disp))
+        e_vis = float(err[vis].mean())
+        (slow_errs if clip_speed < 3.0 else fast_errs).append(e_vis)
+        if (~vis).any():
+            occ_errs.append(float(err[~vis].mean()))
+        stay.append(
+            float(np.linalg.norm(pts0[None] - gt, axis=-1)[vis].mean())
+        )
+    out = {
+        "resolution": f"{h}x{w}",
+        "stayput_px_err": round(float(np.mean(stay)), 3),
+    }
+    if slow_errs:
+        out["slow_px_err"] = round(float(np.mean(slow_errs)), 3)
+        out["n_slow"] = len(slow_errs)
+    if fast_errs:
+        out["fast_px_err"] = round(float(np.mean(fast_errs)), 3)
+        out["n_fast"] = len(fast_errs)
+    if occ_errs:
+        out["hidden_px_err"] = round(float(np.mean(occ_errs)), 3)
+    return out

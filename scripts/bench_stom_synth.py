@@ -41,11 +41,18 @@ def main():
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--points", type=int, default=16)
+    p.add_argument("--suite", choices=["fixed", "serving"],
+                   default="fixed",
+                   help="fixed = the 64^2 smooth/large/occlusion cases; "
+                   "serving = layered parallax clips at the 160x224 STOM "
+                   "serving resolution (benchmark_tracker_serving)")
     args = p.parse_args()
 
     import numpy as np
 
-    from rga3_tpu.models.stom.synth import benchmark_tracker
+    from rga3_tpu.models.stom.synth import (
+        benchmark_tracker, benchmark_tracker_serving,
+    )
 
     if args.backend == "shipped":
         from rga3_tpu.models.stom.cotracker3 import shipped_tracker
@@ -114,13 +121,19 @@ def main():
         tracks, _vis = backend.track_points(list(frames_u8), pts0, qidx)
         return tracks
 
-    report = benchmark_tracker(
-        track_fn, t=args.frames, size=args.size, n_points=args.points
-    )
+    if args.suite == "serving":
+        report = benchmark_tracker_serving(
+            track_fn, t=args.frames, n_points=args.points
+        )
+    else:
+        report = benchmark_tracker(
+            track_fn, t=args.frames, size=args.size, n_points=args.points
+        )
     print(json.dumps({
         "backend": args.backend,
         "ckpt": bool(args.ckpt),
         "tiny": args.tiny,
+        "suite": args.suite,
         **report,
     }))
 

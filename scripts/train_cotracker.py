@@ -192,6 +192,7 @@ def train_layered(args):
             rng, t=T, h=h, w=w, n_points=N,
             max_speed=args.max_speed,
             occluder_prob=args.occluder_prob,
+            speed_exponent=args.speed_exponent,
         )
         # uint8 pool: 4x less RAM and 4x less relay traffic per step
         return (
@@ -352,6 +353,9 @@ def main():
                    help="compute_dtype=bfloat16 (params stay f32)")
     p.add_argument("--occluder-prob", type=float, default=0.7)
     p.add_argument("--max-speed", type=float, default=8.0)
+    p.add_argument("--speed-exponent", type=float, default=1.0,
+                   help="<1 biases clip speeds toward --max-speed "
+                   "(large-displacement-weighted curriculum)")
     p.add_argument("--save-every", type=int, default=500,
                    help="checkpoint cadence (layered curriculum)")
     p.add_argument("--resume", default="",
