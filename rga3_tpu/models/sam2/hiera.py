@@ -339,6 +339,15 @@ class MultiScaleBlock(nn.Module):
                 block_q = self.cfg.fused_block_q_large or window
             else:
                 block_q = self.cfg.fused_block_q_small
+                import os as _os
+
+                env_bq = _os.environ.get("RGA3_FUSED_BQ_SMALL", "")
+                if env_bq:
+                    # A/B override: at 64-token windows the in-block
+                    # attention computes block_q/window windows' worth of
+                    # masked logits — smaller blocks trade matmul M-fill
+                    # for less masked-FLOP waste (bench_trunk_stages)
+                    block_q = int(env_bq)
             out = fused_window_block(
                 tokens, params, num_heads=self.num_heads, window=window,
                 block_q=block_q, gelu_tanh=self.cfg.gelu_tanh,

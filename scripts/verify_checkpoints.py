@@ -464,6 +464,52 @@ def main():
 
     stage(report["configs"], "config8_prequant", do_prequant)
 
+    # ---------------- config 9: LEARNED tiny checkpoint ---------------
+    # The round-5 learning-proof run (scripts/train.py on the visible-
+    # target fixture, tests/synth_data.build_learn_root) ships its best
+    # params as a committed f16 npz. This stage validates BEHAVIOR, not
+    # just plumbing: the learned model's masks must clearly beat chance
+    # on FRESH target positions, where the random-init model scores ~0.
+    def do_learned():
+        npz = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            if "__file__" in globals() else ".",
+            "runs", "learning_proof_tiny", "params_f16.npz",
+        )
+        if not os.path.exists(npz):
+            return {"skipped": "no learned checkpoint committed"}
+        import importlib.util as ilu
+
+        spec = ilu.spec_from_file_location(
+            "export_learned_tiny",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "export_learned_tiny.py"),
+        )
+        elt = ilu.module_from_spec(spec)
+        spec.loader.exec_module(elt)
+        lmodel, lcfg, lproc = elt.build_train_tiny_model()
+        lparams = elt.load_params_npz(npz)
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests",
+        ))
+        from synth_data import build_learn_root
+
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            build_learn_root(d, seed=11)  # positions unseen in training
+            scores = elt.eval_giou(lmodel, lparams, lproc, d, n=6)
+        assert scores["gIoU"] > 0.5, (
+            f"learned checkpoint gIoU {scores['gIoU']:.3f} <= 0.5 — "
+            "does not beat chance"
+        )
+        return {"gIoU": round(scores["gIoU"], 4),
+                "cIoU": round(scores["cIoU"], 4), "n": scores["n"]}
+
+    stage(report["configs"], "config9_learned", do_learned)
+
     ok = report["load"]["ok"] and all(
         v.get("ok") for v in report["configs"].values()
     )
