@@ -293,22 +293,31 @@ class Attention(nn.Module):
             else:
                 ckf = ck.astype(jnp.float32)
                 cvf = cv.astype(jnp.float32)
-            kf = jnp.repeat(ckf, h // hkv, axis=2)
-            vf = jnp.repeat(cvf, h // hkv, axis=2)
+            # GQA-native: contract each kv head against its g query
+            # heads directly — a jnp.repeat here materializes a
+            # (h/hkv)x-expanded f32 K/V every decode step (~3 GB/step at
+            # the 7B serving batch), several times the cache's own HBM
+            # stream. HF head order: q head i uses kv head i // g.
+            g = h // hkv
+            q5 = q.reshape(b, l, hkv, g, hd).astype(jnp.float32)
             logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q.astype(jnp.float32), kf,
+                "bqkgd,bmkd->bkgqm", q5, ckf
             ) * (hd**-0.5)
-            kpos = jnp.arange(max_len)[None, None, None, :]
-            qpos = (cache_idx + jnp.arange(l))[None, None, :, None]
+            kpos = jnp.arange(max_len)[None, None, None, None, :]
+            qpos = (
+                cache_idx + jnp.arange(l)
+            )[None, None, None, :, None]
             valid = kpos <= qpos  # causal within the appended block too
             if cache_seg is not None:
                 # mask pad K/V left in the cache by right-padded prefills
-                valid = valid & (cache_seg[:, None, None, :] > 0)
+                valid = valid & (
+                    cache_seg[:, None, None, None, :] > 0
+                )
             logits = jnp.where(valid, logits, -1e30)
             probs = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum(
-                "bhqk,bkhd->bqhd", probs, vf
-            ).astype(x.dtype)
+                "bkgqm,bmkd->bqkgd", probs, cvf
+            ).reshape(b, l, h, hd).astype(x.dtype)
 
         out = out.reshape(b, l, h * hd)
         out = dense("o_proj", cfg.hidden_size, False, ("heads", "embed"))(out)

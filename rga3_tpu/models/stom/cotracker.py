@@ -234,10 +234,15 @@ def save_params(path: str, params) -> None:
 
 def load_params(path: str, like):
     """Restore a params pytree saved by `save_params`; `like` provides the
-    tree structure (e.g. a fresh `model.init(...)`)."""
+    tree structure (e.g. a fresh `model.init(...)`). Arrays are cast to
+    the like-leaf's dtype, so f16-stored shipping npzs (save_cotracker3)
+    resume as f32 training params instead of silently training in f16."""
     data = np.load(path)
     leaves_like = jax.tree_util.tree_leaves_with_path(like)
-    flat = [jnp.asarray(data[jax.tree_util.keystr(k)]) for k, _ in leaves_like]
+    flat = [
+        jnp.asarray(data[jax.tree_util.keystr(k)], dtype=v.dtype)
+        for k, v in leaves_like
+    ]
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(like), flat
     )
