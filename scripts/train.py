@@ -75,6 +75,13 @@ def parse_args():
     p.add_argument("--no_auto_resume", dest="auto_resume",
                    action="store_false")
     p.add_argument("--precision", default="bfloat16")
+    p.add_argument("--param_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="master-param storage dtype. bfloat16 halves "
+                   "param HBM (what lets a full 3B train step fit one "
+                   "v5e chip, like bench_train) at coarser update "
+                   "granularity — use float32 for converging runs on "
+                   "enough devices")
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--data_workers", type=int, default=2,
                    help="prefetch threads (0 = synchronous). With >=1 "
@@ -244,6 +251,12 @@ def main():
     from flax.core import meta
 
     params = {"params": walk(meta.unbox(shapes))}
+    if args.param_dtype == "bfloat16":
+        import ml_dtypes
+
+        params = jax.tree.map(
+            lambda a: a.astype(ml_dtypes.bfloat16), params
+        )
     print(f"params assembled in {time.time()-t0:.1f}s", flush=True)
 
     # ---- data ----
