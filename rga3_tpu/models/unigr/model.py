@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ...config import ConfigBase, SegHeadConfig
 from ...ops import losses as loss_ops
+from ...ops import resize as resize_ops
 from ...ops.resize import resize_bilinear
 from ...ops.seg_gather import gather_seg_embeddings
 from ..qwen25vl.config import Qwen25VLConfig
@@ -131,6 +132,13 @@ class UniGR(nn.Module):
         ).reshape(b * t, 1, cfg.out_dim)
 
         frames = images_sam.reshape(b * t, *images_sam.shape[2:])
+        # normalize (uint8 ship) in f32, then run the trunk in the
+        # compute dtype — without the cast the SAM trunk silently rides
+        # the f32 input dtype (2x HBM/VMEM, and at 3B shapes the fused
+        # blocks' f32 VMEM footprint fails to compile)
+        frames = resize_ops.sam_normalize_maybe(frames).astype(
+            compute_dtype
+        )
         sam_out = self.grounding_encoder.decode_frames_with_language(
             frames, lang, multimask_output=True, training=True,
             stop_backbone_grad=cfg.freeze_sam_backbone,
@@ -188,7 +196,10 @@ class UniGR(nn.Module):
             seg_emb[0][None, None, :], (t, 1, self.cfg.seg.out_dim)
         )
         sam_out = self.grounding_encoder.decode_frames_with_language(
-            images_sam, lang, multimask_output=True, training=False
+            resize_ops.sam_normalize_maybe(images_sam).astype(
+                compute_dtype
+            ),
+            lang, multimask_output=True, training=False,
         )
         return {
             "high_res_masks": sam_out["high_res_masks"],
