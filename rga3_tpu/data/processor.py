@@ -194,7 +194,13 @@ class WordTokenizer:
         "<|vision_end|>": 151653,
         "<|image_pad|>": 151655,
         "<|video_pad|>": 151656,
-        SEG_TOKEN: 151999,
+        # MUST be inside every model's vocab: 3B ties embeddings at
+        # vocab 151936, and an OOB id is a clamped gather on CPU but
+        # UNDEFINED on TPU (garbage/NaN embedding row — an all-NaN 3B
+        # train forward traced back to exactly this). 151665 mirrors
+        # where the real tokenizer's add_tokens([SEG]) lands (first free
+        # id after the Qwen specials), < 151936 and < 152064.
+        SEG_TOKEN: 151665,
         "user": 872,
         "assistant": 77091,
     }

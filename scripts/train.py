@@ -37,6 +37,62 @@ def _check_u8(frames: np.ndarray) -> np.ndarray:
     return frames
 
 
+def assemble_params(model, cfg, tree, param_dtype="float32"):
+    """Host-side param assembly: pretrained leaves from `tree`, missing
+    leaves initialized deterministically (crc32-seeded so every host in
+    a multi-host launch builds identical params without collectives)."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k,
+            jnp.zeros((1, cfg.sam2.image_size, cfg.sam2.image_size, 3)),
+            jnp.zeros((1, 1, cfg.seg.out_dim)),
+            jnp.zeros((1, 8), jnp.int32),
+        ),
+        jax.random.PRNGKey(0),
+    )["params"]
+
+    def fill(shape_leaf, path):
+        node = tree
+        for k in path[:-1]:
+            node = node.get(k, {}) if isinstance(node, dict) else {}
+        leaf = node.get(path[-1]) if isinstance(node, dict) else None
+        if leaf is not None and tuple(np.shape(leaf)) == tuple(shape_leaf.shape):
+            return np.asarray(leaf, np.float32)
+        # zlib.crc32, not hash(): str hash is salted per process, and
+        # every host must initialize identical params (multi-host SPMD)
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32("/".join(path).encode()))
+        if path[-1].endswith("lora_b") or "bias" in path[-1]:
+            return np.zeros(shape_leaf.shape, np.float32)
+        if path[-1] in ("scale", "g_weight"):
+            # norm scales / layer-scale gains start at 1 (the flax
+            # default): N(0, 0.02) here collapses activations ~50x per
+            # layer — at 36 bf16 layers they underflow to exact zero and
+            # the next RMSNorm divides 0/0 (NaN from step 0)
+            return np.ones(shape_leaf.shape, np.float32)
+        return rng.normal(0, 0.02, shape_leaf.shape).astype(np.float32)
+
+    def walk(shapes_node, path=()):
+        if isinstance(shapes_node, dict):
+            return {k: walk(v, path + (k,)) for k, v in shapes_node.items()}
+        return fill(shapes_node, list(path))
+
+    from flax.core import meta
+
+    params = {"params": walk(meta.unbox(shapes))}
+    if param_dtype == "bfloat16":
+        import ml_dtypes
+
+        params = jax.tree.map(
+            lambda a: a.astype(ml_dtypes.bfloat16), params
+        )
+    return params
+
+
 def parse_args():
     p = argparse.ArgumentParser("rga3_tpu UniGR training")
     p.add_argument("--model_dir", required=True,
@@ -217,46 +273,7 @@ def main():
         )["params"]
     # init missing leaves (lora, seg head, anything not in checkpoints)
     t0 = time.time()
-    shapes = jax.eval_shape(
-        lambda k: model.init(
-            k,
-            jnp.zeros((1, cfg.sam2.image_size, cfg.sam2.image_size, 3)),
-            jnp.zeros((1, 1, cfg.seg.out_dim)),
-            jnp.zeros((1, 8), jnp.int32),
-        ),
-        jax.random.PRNGKey(0),
-    )["params"]
-
-    def fill(shape_leaf, path):
-        node = tree
-        for k in path[:-1]:
-            node = node.get(k, {}) if isinstance(node, dict) else {}
-        leaf = node.get(path[-1]) if isinstance(node, dict) else None
-        if leaf is not None and tuple(np.shape(leaf)) == tuple(shape_leaf.shape):
-            return np.asarray(leaf, np.float32)
-        # zlib.crc32, not hash(): str hash is salted per process, and
-        # every host must initialize identical params (multi-host SPMD)
-        import zlib
-
-        rng = np.random.default_rng(zlib.crc32("/".join(path).encode()))
-        if path[-1].endswith("lora_b") or "bias" in path[-1]:
-            return np.zeros(shape_leaf.shape, np.float32)
-        return rng.normal(0, 0.02, shape_leaf.shape).astype(np.float32)
-
-    def walk(shapes_node, path=()):
-        if isinstance(shapes_node, dict):
-            return {k: walk(v, path + (k,)) for k, v in shapes_node.items()}
-        return fill(shapes_node, list(path))
-
-    from flax.core import meta
-
-    params = {"params": walk(meta.unbox(shapes))}
-    if args.param_dtype == "bfloat16":
-        import ml_dtypes
-
-        params = jax.tree.map(
-            lambda a: a.astype(ml_dtypes.bfloat16), params
-        )
+    params = assemble_params(model, cfg, tree, args.param_dtype)
     print(f"params assembled in {time.time()-t0:.1f}s", flush=True)
 
     # ---- data ----

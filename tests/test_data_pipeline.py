@@ -22,7 +22,7 @@ from rga3_tpu.models.qwen25vl.config import (
 )
 from rga3_tpu.utils import rle
 
-SEG_ID = 151999
+SEG_ID = 151665
 
 SPECIALS = {
     "<|im_start|>": IM_START_TOKEN_ID,
