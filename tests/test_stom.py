@@ -78,7 +78,31 @@ def test_shipped_tracker_quality_pinned():
         lambda f, p, i: tracker.track_points(list(f), p, i)[0],
         seeds=(0,),
     )
-    assert report["smooth"]["px_err"] < 0.6, report
-    assert report["large_motion"]["px_err"] < 1.5, report
-    assert report["occlusion"]["px_err"] < 0.8, report
-    assert report["occlusion"]["px_err_occluded"] < 2.0, report
+    # ~2x the r5 chip-measured values (0.137 / 0.471 / 0.16 / 0.616):
+    # tight enough to catch a real quality regression, loose enough for
+    # CPU-vs-TPU bf16 drift
+    assert report["smooth"]["px_err"] < 0.3, report
+    assert report["large_motion"]["px_err"] < 1.0, report
+    assert report["occlusion"]["px_err"] < 0.35, report
+    assert report["occlusion"]["px_err_occluded"] < 1.3, report
+
+
+@pytest.mark.slow
+@pytest.mark.midlane
+def test_shipped_tracker_serving_resolution_pinned():
+    """Serving-resolution (160x224) layered-parallax suite: the shipped
+    small tracker must stay far ahead of both stay-put (11.1 px) and
+    chained LK (23-46 px, WORSE than stay-put here). Thresholds ~2x the
+    r5 chip-measured values (slow 0.839 / fast 0.479 / hidden 3.444)."""
+    from rga3_tpu.models.stom.cotracker3 import shipped_tracker
+    from rga3_tpu.models.stom.synth import benchmark_tracker_serving
+
+    tracker = shipped_tracker(max_points=24)
+    assert tracker is not None, "shipped weights missing from the repo"
+    report = benchmark_tracker_serving(
+        lambda f, p, i: tracker.track_points(list(f), p, i)[0],
+        seeds=(0, 1, 2),
+    )
+    assert report["slow_px_err"] < 1.7, report
+    assert report["fast_px_err"] < 1.0, report
+    assert report["hidden_px_err"] < 7.0, report
