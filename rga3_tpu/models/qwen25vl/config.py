@@ -43,6 +43,8 @@ class QwenVisionConfig(ConfigBase):
     # int8 weight-only vision blocks (patch embed + merger stay float);
     # convert trees with ops.quant.quantize_qwen_params(include_vision=True)
     quant_int8: bool = False
+    # W8A8 for the vision blocks (see QwenTextConfig.quant_w8a8)
+    quant_w8a8: bool = False
     # keep tokens in PADDED window order across the whole block stack:
     # one pad gather in, one unpad gather out, zero per-block gathers
     # (the win_pad/win_unpad gathers were the r3 hot spot); every block
@@ -102,6 +104,12 @@ class QwenTextConfig(ConfigBase):
     # math is untouched (flash runs on the raw bf16 K/V; only the stored
     # copy is quantized).
     kv_cache_int8: bool = False
+    # W8A8 prefill (requires quant_int8): multi-token calls quantize
+    # activations per token and run native s8xs8->s32 MXU dots (2x the
+    # bf16 FLOP rate on v5e); single-token decode stays weight-only.
+    # ~0.4%/matmul quant error on Gaussian activations — validate
+    # end-task quality on real weights before production use.
+    quant_w8a8: bool = False
 
 
 @dataclass(frozen=True)

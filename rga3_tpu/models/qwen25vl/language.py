@@ -106,10 +106,16 @@ class QuantDense(nn.Module):
     use_bias: bool = False
     kernel_axes: Tuple[str, ...] = ()
     bits: int = 8
+    # token-axis length at/above which bits==8 uses the W8A8 int8-MXU
+    # dot (2x bf16 FLOP rate on v5e) instead of the weight-only bf16
+    # dot. 0 disables. Decode steps (L=1) always stay weight-only.
+    w8a8_min_seq: int = 0
 
     @nn.compact
     def __call__(self, x):
-        from ...ops.quant import int4_group, int4_matmul, int8_matmul
+        from ...ops.quant import (
+            int4_group, int4_matmul, int8_matmul, int8_w8a8_matmul,
+        )
 
         if self.kernel_axes:
             k_init = nn.with_logical_partitioning(
@@ -142,7 +148,14 @@ class QuantDense(nn.Module):
             scale = self.param(
                 "scale", s_init, (self.features,), jnp.float32
             )
-            y = int8_matmul(x, wq, scale)
+            if (
+                self.w8a8_min_seq
+                and x.ndim >= 2
+                and x.shape[-2] >= self.w8a8_min_seq
+            ):
+                y = int8_w8a8_matmul(x, wq, scale)
+            else:
+                y = int8_matmul(x, wq, scale)
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
@@ -160,6 +173,7 @@ def _dense_or_quant(cfg, name, features, use_bias, kernel_axes, dtype):
         return QuantDense(
             features, use_bias=use_bias, kernel_axes=kernel_axes, name=name,
             bits=4 if int4 else 8,
+            w8a8_min_seq=32 if getattr(cfg, "quant_w8a8", False) else 0,
         )
     return nn.Dense(
         features,

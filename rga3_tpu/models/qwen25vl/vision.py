@@ -228,7 +228,12 @@ class VisionBlock(nn.Module):
             if cfg.quant_int8:
                 from .language import QuantDense
 
-                return QuantDense(features, use_bias=True, name=name)
+                return QuantDense(
+                    features, use_bias=True, name=name,
+                    w8a8_min_seq=(
+                        32 if getattr(cfg, "quant_w8a8", False) else 0
+                    ),
+                )
             return nn.Dense(
                 features, use_bias=True, dtype=x.dtype,
                 param_dtype=jnp.float32, name=name,

@@ -45,6 +45,35 @@ def int8_matmul(
     return y * scale.astype(x.dtype)
 
 
+def int8_w8a8_matmul(
+    x: jnp.ndarray, kernel_q: jnp.ndarray, scale: jnp.ndarray
+) -> jnp.ndarray:
+    """W8A8: dynamic per-token activation quantization + native int8 MXU
+    dot (s8 x s8 -> s32 runs at 2x the bf16 FLOP rate on v5e), dequant
+    by (token_scale x channel_scale).
+
+    Compute-bound prefill/vision legs only — weight-bound decode gains
+    nothing from faster math and would pay the activation-quant error
+    for free (QuantDense gates on the static token-axis length).
+    Accuracy: symmetric absmax/127 per token ~0.4% relative error per
+    matmul on Gaussian activations; outlier-heavy real activations are
+    the known W8A8 risk (SmoothQuant territory) — validate end-task
+    quality before enabling in production serving."""
+    xs = jnp.max(
+        jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True
+    ) / 127.0
+    xs = jnp.maximum(xs, 1e-8)
+    xq = jnp.round(x.astype(jnp.float32) / xs).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, kernel_q,
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (
+        y.astype(jnp.float32) * xs * scale.astype(jnp.float32)
+    ).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Int4 weight-only (the reference's `load_in_4bit` counterpart): two
 # nibbles packed per int8 byte along the input dim, symmetric [-7, 7]

@@ -33,6 +33,10 @@ def main():
     p.add_argument("--kv-int8", dest="kv_int8", action="store_true",
                    help="int8 KV cache (halves the cache's share of "
                    "decode HBM traffic)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="W8A8 prefill/vision (int8 MXU dots at 2x bf16 "
+                   "FLOP rate; decode stays weight-only). Requires "
+                   "--int8.")
     p.add_argument("--samples", type=int, default=5)
     p.add_argument("--batch", type=int, default=1,
                    help="samples per batched prefill+decode (the\n"
@@ -72,13 +76,16 @@ def main():
         "tiny": tiny_config(), "3b": QWEN25_VL_3B, "7b": QWEN25_VL_7B,
     }[args.size]
     assert not (args.int8 and args.int4), "--int8 and --int4 are exclusive"
+    if args.w8a8:
+        assert args.int8, "--w8a8 requires --int8"
     qcfg = qcfg.replace(
         text=qcfg.text.replace(
             scan_layers=True, quant_int8=args.int8, quant_int4=args.int4,
-            kv_cache_int8=args.kv_int8,
+            kv_cache_int8=args.kv_int8, quant_w8a8=args.w8a8,
         ),
         vision=qcfg.vision.replace(
-            scan_blocks=True, quant_int8=args.int8 or args.int4
+            scan_blocks=True, quant_int8=args.int8 or args.int4,
+            quant_w8a8=args.w8a8,
         ),
     )
     model = Qwen25VL(qcfg)

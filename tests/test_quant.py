@@ -38,6 +38,49 @@ def test_int8_matmul_close_to_dense():
     assert rel < 0.01, rel
 
 
+def test_int8_w8a8_matmul_close_to_dense():
+    from rga3_tpu.ops.quant import int8_w8a8_matmul
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 40, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
+    q, scale = quantize_int8(w)
+    ref = np.asarray(x @ w)
+    out = np.asarray(int8_w8a8_matmul(x, q, scale))
+    rel = float(np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-9))
+    # weight quant (~0.5%) + per-token activation quant (~0.5%)
+    assert rel < 0.02, rel
+
+
+def test_w8a8_prefill_matches_weight_only_tokens():
+    """quant_w8a8 changes prefill math only: greedy tokens must match
+    the weight-only int8 path on the tiny model, and the decode steps
+    (L=1) must bypass activation quantization entirely."""
+    import jax
+    from rga3_tpu.models.qwen25vl import tiny_config
+    from rga3_tpu.models.qwen25vl.model import Qwen25VL
+    from rga3_tpu.models.qwen25vl.generate import greedy_generate
+    from rga3_tpu.models.qwen25vl.positions import get_rope_index
+    from rga3_tpu.ops.quant import quantize_qwen_params
+
+    cfg = tiny_config(vocab_size=300)
+    ids = np.random.default_rng(0).integers(0, 300, (2, 40)).astype(np.int32)
+    base = Qwen25VL(cfg)
+    params = base.init(jax.random.PRNGKey(0), input_ids=jnp.asarray(ids))
+    qparams = {"params": quantize_qwen_params(params["params"])}
+    pos, deltas = get_rope_index(cfg, ids)
+    kw = dict(max_new_tokens=5, eos_token_id=10_000, pad_token_id=0,
+              compute_dtype=jnp.float32)
+    args = (jnp.asarray(ids), jnp.ones((2, 40), jnp.int32),
+            jnp.asarray(pos), jnp.asarray(deltas))
+    m_int8 = Qwen25VL(cfg.replace(text=cfg.text.replace(quant_int8=True)))
+    ref = np.asarray(greedy_generate(m_int8, qparams, *args, **kw))
+    m_w8a8 = Qwen25VL(cfg.replace(text=cfg.text.replace(
+        quant_int8=True, quant_w8a8=True)))
+    got = np.asarray(greedy_generate(m_w8a8, qparams, *args, **kw))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_quantize_int4_roundtrip_error():
     rng = np.random.default_rng(7)
     w = jnp.asarray(rng.normal(size=(256, 48)).astype(np.float32))
