@@ -35,6 +35,11 @@ def main():
     )
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--w8a8", action="store_true",
+                   help="W8A8 prefill/vision with --int8: int8 MXU dots "
+                   "at 2x bf16 FLOP rate (decode stays weight-only)")
+    p.add_argument("--kv-int8", dest="kv_int8", action="store_true",
+                   help="int8 KV cache (halves its decode HBM stream)")
     p.add_argument("--int4", action="store_true",
                    help="int4 weight-only LLM + int8 vision tower — HBM-CAPACITY ONLY on v5e: measured SLOWER than --int8 (7B 49.9 vs 92.6 tok/s with the partial-dot-scaled kernel; ~= bf16 speed at 3.6x less HBM)")
     p.add_argument("--out", required=True)
@@ -51,6 +56,8 @@ def main():
     a.model_size = args.model_size
     a.num_frames_mllm = 1
     a.int8 = args.int8
+    a.w8a8 = args.w8a8
+    a.kv_int8 = args.kv_int8
     a.int4 = args.int4
     seg = build_segmentor(a)
 

@@ -45,6 +45,8 @@ def build_chat(args):
     a.model_size = args.model_size
     a.num_frames_mllm = args.num_frames
     a.int8 = args.int8
+    a.w8a8 = args.w8a8
+    a.kv_int8 = args.kv_int8
     a.int4 = args.int4
     seg = build_segmentor(a)
 
@@ -82,6 +84,11 @@ def main():
     p.add_argument("--subset_idx", type=int, default=0)
     p.add_argument("--subset_num", type=int, default=1)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--w8a8", action="store_true",
+                   help="W8A8 prefill/vision with --int8: int8 MXU dots "
+                   "at 2x bf16 FLOP rate (decode stays weight-only)")
+    p.add_argument("--kv-int8", dest="kv_int8", action="store_true",
+                   help="int8 KV cache (halves its decode HBM stream)")
     p.add_argument("--int4", action="store_true",
                    help="int4 LM + int8 vision — HBM-CAPACITY ONLY on v5e: measured SLOWER than --int8 (7B 49.9 vs 92.6 tok/s with the partial-dot-scaled kernel; ~= bf16 speed at 3.6x less HBM)")
     args = p.parse_args()

@@ -64,9 +64,16 @@ def build_segmentor(args):
         quant_mode = qmeta["mode"]
         int8, int4 = quant_mode == "int8", quant_mode == "int4"
     if quant_mode:
+        w8a8 = bool(getattr(args, "w8a8", False))
+        kv_int8 = bool(getattr(args, "kv_int8", False))
         qcfg = qcfg.replace(
-            text=qcfg.text.replace(quant_int8=int8, quant_int4=int4),
-            vision=qcfg.vision.replace(quant_int8=True),
+            text=qcfg.text.replace(
+                quant_int8=int8, quant_int4=int4,
+                quant_w8a8=w8a8 and int8, kv_cache_int8=kv_int8,
+            ),
+            vision=qcfg.vision.replace(
+                quant_int8=True, quant_w8a8=w8a8 and int8,
+            ),
         )
     scfg = SAM2_HIERA_L if size != "tiny" else tiny_sam2_config()
     cfg = UniGRConfig(
@@ -151,6 +158,11 @@ def main():
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only LLM + vision tower (ops.quant)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="W8A8 prefill/vision with --int8: int8 MXU dots "
+                   "at 2x bf16 FLOP rate (decode stays weight-only)")
+    p.add_argument("--kv-int8", dest="kv_int8", action="store_true",
+                   help="int8 KV cache (halves its decode HBM stream)")
     p.add_argument("--int4", action="store_true",
                    help="int4 weight-only LLM + int8 vision tower "
                    "(ref load_in_4bit, inference_mevis.py:70-93) — "
