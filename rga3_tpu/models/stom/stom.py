@@ -156,6 +156,17 @@ class STOM:
         tracks, vis = self.tracker.track(
             arr, mask, vip_frame_idx, grid_size=grid_size
         )
+        # Visibility-head sanity: query points are sampled FROM the
+        # visible prompt mask at the key frame, so they are visible
+        # there by construction. If the head marks most of them hidden
+        # at the key frame, its confidence is miscalibrated for this
+        # content (measured failure: smooth photographic regions are
+        # out-of-family for the noise-trained tracker) — compositing
+        # would silently no-op on every frame. Fall back to all-visible
+        # (LK semantics); the compositor's 3*MAD flow filter still
+        # rejects individual bad tracks.
+        if vis.shape[0] and vis[vip_frame_idx].mean() < 0.5:
+            vis = np.ones_like(vis)
         return tracks, vis
 
     # -- overlay warps --------------------------------------------------

@@ -36,6 +36,70 @@ def _smooth_noise(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
     return out / max(out.max(), 1e-6)
 
 
+_PHOTO_BANK: np.ndarray | None = None
+
+
+def _photo_bank() -> np.ndarray:
+    """A real photograph as a texture source — matplotlib's bundled
+    grace_hopper.jpg (the only photographic image in the baked-in
+    environment). Used to validate tracking on REAL image statistics
+    (edges, gradients, smooth skin/background regions) instead of the
+    band-limited noise the trackers train on."""
+    global _PHOTO_BANK
+    if _PHOTO_BANK is None:
+        import os
+
+        import matplotlib
+        from PIL import Image
+
+        path = os.path.join(
+            os.path.dirname(matplotlib.__file__),
+            "mpl-data", "sample_data", "grace_hopper.jpg",
+        )
+        _PHOTO_BANK = (
+            np.asarray(Image.open(path), np.float32) / 255.0
+        )
+    return _PHOTO_BANK
+
+
+def _photo_texture(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """(H, W, 3) float [0,1] texture cropped from the photo bank, with a
+    random flip/transpose and brightness/contrast jitter; tiled (with
+    mirrored repeats, so seams stay photographic) when the request is
+    larger than the source."""
+    img = _photo_bank()
+    if rng.random() < 0.5:
+        img = img[:, ::-1]
+    if rng.random() < 0.5:
+        img = img[::-1]
+    if rng.random() < 0.5:
+        img = np.transpose(img, (1, 0, 2))
+    ih, iw = img.shape[:2]
+    if ih < h or iw < w:
+        ry = -(-h // ih) + 1
+        rx = -(-w // iw) + 1
+        # mirror-tile: every other repeat flipped, no hard wrap seams
+        rows = [img if j % 2 == 0 else img[::-1] for j in range(ry)]
+        img = np.concatenate(rows, axis=0)
+        cols = [img if j % 2 == 0 else img[:, ::-1] for j in range(rx)]
+        img = np.concatenate(cols, axis=1)
+        ih, iw = img.shape[:2]
+    y0 = int(rng.integers(0, ih - h + 1))
+    x0 = int(rng.integers(0, iw - w + 1))
+    out = img[y0:y0 + h, x0:x0 + w].astype(np.float32)
+    gain = float(rng.uniform(0.7, 1.2))
+    bias = float(rng.uniform(-0.1, 0.1))
+    return np.clip(out * gain + bias, 0.0, 1.0)
+
+
+def _make_texture(
+    rng: np.random.Generator, h: int, w: int, kind: str
+) -> np.ndarray:
+    if kind == "photo":
+        return _photo_texture(rng, h, w)
+    return _smooth_noise(rng, h, w)
+
+
 def make_synthetic_batch(
     rng: np.random.Generator,
     t: int = 8,
@@ -262,6 +326,7 @@ def make_training_clip(
     occluder_prob: float = 0.7,
     random_query_frame: bool = True,
     speed_exponent: float = 1.0,
+    texture: str = "noise",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """One supervised clip: (frames (T,H,W,3) [0,1], queries (N,3)
     (t0,x,y), gt_tracks (T,N,2), gt_vis (T,N) bool).
@@ -282,7 +347,10 @@ def make_training_clip(
         rng.uniform() ** speed_exponent
     )
     margin = int(speed * t + 8)
-    texture = _smooth_noise(rng, h + 2 * margin, w + 2 * margin)
+    tex_kind = texture
+    texture = _make_texture(
+        rng, h + 2 * margin, w + 2 * margin, tex_kind
+    )
     cx, cy = w / 2, h / 2
     bg_mats = _similarity_path(rng, t, speed * rng.uniform(0.3, 1.0))
 
@@ -324,8 +392,9 @@ def make_training_clip(
         )
         sp_speed = speed * float(rng.uniform(0.5, 1.5))
         sp_margin = int(sp_speed * t + 8)
-        stex = _smooth_noise(
-            rng, int(2 * ry) + 2 * sp_margin, int(2 * rx) + 2 * sp_margin
+        stex = _make_texture(
+            rng, int(2 * ry) + 2 * sp_margin,
+            int(2 * rx) + 2 * sp_margin, tex_kind,
         )
         # sprite's own similarity path, applied about its (moving) centre
         mats = _similarity_path(rng, t, sp_speed, rot_scale=2.0)
@@ -460,6 +529,7 @@ def benchmark_tracker_serving(
     w: int = 224,
     n_points: int = 24,
     max_speed: float = 10.0,
+    texture: str = "noise",
 ) -> dict:
     """Serving-resolution suite on the LAYERED generator — the r4
     verdict's gap: the fixed 64² suite is below the 160×224 STOM serving
@@ -468,13 +538,21 @@ def benchmark_tracker_serving(
     opaque occluders (same family the shipped tracker trains on, but a
     DISJOINT fixed seed range), split into slow/fast regimes by the
     clip's true median per-frame displacement, with hidden-point error
-    reported separately."""
+    reported separately.
+
+    `texture="photo"` swaps every layer's band-limited-noise texture for
+    random crops of a real photograph (`_photo_bank`) — out-of-family
+    for the shipped trackers, which train on noise only, so it measures
+    generalization to real image statistics (seed base offset keeps the
+    clip geometry family distinct from the noise suite too)."""
     slow_errs, fast_errs, occ_errs, stay = [], [], [], []
+    seed_base = 5000 if texture == "noise" else 7000
     for s in seeds:
-        rng = np.random.default_rng(5000 + s)
+        rng = np.random.default_rng(seed_base + s)
         frames, queries, gt, vis = make_training_clip(
             rng, t=t, h=h, w=w, n_points=n_points,
             max_speed=max_speed, random_query_frame=False,
+            texture=texture,
         )
         pts0 = queries[:, 1:3]
         frames_u8 = (frames * 255.0).astype(np.uint8)
@@ -491,6 +569,7 @@ def benchmark_tracker_serving(
         )
     out = {
         "resolution": f"{h}x{w}",
+        "texture": texture,
         "stayput_px_err": round(float(np.mean(stay)), 3),
     }
     if slow_errs:

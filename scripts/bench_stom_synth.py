@@ -41,11 +41,15 @@ def main():
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--points", type=int, default=16)
-    p.add_argument("--suite", choices=["fixed", "serving"],
+    p.add_argument("--suite",
+                   choices=["fixed", "serving", "serving-photo"],
                    default="fixed",
                    help="fixed = the 64^2 smooth/large/occlusion cases; "
                    "serving = layered parallax clips at the 160x224 STOM "
-                   "serving resolution (benchmark_tracker_serving)")
+                   "serving resolution (benchmark_tracker_serving); "
+                   "serving-photo = same geometry with real photographic "
+                   "textures (out-of-family for the noise-trained "
+                   "trackers)")
     args = p.parse_args()
 
     import numpy as np
@@ -121,9 +125,10 @@ def main():
         tracks, _vis = backend.track_points(list(frames_u8), pts0, qidx)
         return tracks
 
-    if args.suite == "serving":
+    if args.suite in ("serving", "serving-photo"):
         report = benchmark_tracker_serving(
-            track_fn, t=args.frames, n_points=args.points
+            track_fn, t=args.frames, n_points=args.points,
+            texture="photo" if args.suite == "serving-photo" else "noise",
         )
     else:
         report = benchmark_tracker(

@@ -188,11 +188,15 @@ def train_layered(args):
     gen_rng = np.random.default_rng(0)
 
     def make_clip(rng):
+        tex = args.textures
+        if tex == "mixed":
+            tex = "photo" if rng.random() < 0.5 else "noise"
         f, qr, g, v = make_training_clip(
             rng, t=T, h=h, w=w, n_points=N,
             max_speed=args.max_speed,
             occluder_prob=args.occluder_prob,
             speed_exponent=args.speed_exponent,
+            texture=tex,
         )
         # uint8 pool: 4x less RAM and 4x less relay traffic per step
         return (
@@ -356,6 +360,13 @@ def main():
     p.add_argument("--speed-exponent", type=float, default=1.0,
                    help="<1 biases clip speeds toward --max-speed "
                    "(large-displacement-weighted curriculum)")
+    p.add_argument("--textures", choices=["noise", "photo", "mixed"],
+                   default="noise",
+                   help="layer texture source for the layered curriculum: "
+                   "band-limited noise, real photo crops "
+                   "(synth._photo_texture), or a 50/50 per-clip mix — "
+                   "mixed calibrates the visibility head on smooth "
+                   "photographic regions the noise family never shows")
     p.add_argument("--save-every", type=int, default=500,
                    help="checkpoint cadence (layered curriculum)")
     p.add_argument("--resume", default="",
