@@ -149,7 +149,9 @@ def test_shipped_tracker_generalizes_to_photo_textures():
     layer). The shipped weights must keep beating chained LK — which
     collapses to ~stay-put here (slow 10.8 px vs stay-put 10.6) — i.e.
     the net learned correspondence, not a noise-texture shortcut.
-    r5 measured (8 seeds): slow 2.41 / fast 7.20 / hidden 13.50."""
+    r5 measured (8 seeds), shipped mixed-texture fine-tune: slow 1.59 /
+    fast 4.65 / hidden 10.75 (pre-fine-tune noise-only weights: 2.41 /
+    7.20 / 13.50); thresholds ~2x measured."""
     from rga3_tpu.models.stom.cotracker3 import shipped_tracker
     from rga3_tpu.models.stom.synth import benchmark_tracker_serving
 
@@ -160,6 +162,6 @@ def test_shipped_tracker_generalizes_to_photo_textures():
         texture="photo",
     )
     stay = report["stayput_px_err"]
-    assert report["slow_px_err"] < 5.0, report
-    assert report["fast_px_err"] < min(11.0, stay), report
-    assert report["hidden_px_err"] < 20.0, report
+    assert report["slow_px_err"] < 3.5, report
+    assert report["fast_px_err"] < min(9.0, stay), report
+    assert report["hidden_px_err"] < 16.0, report
